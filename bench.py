@@ -1,0 +1,215 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default run: executes the headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line: ``{"metric", "value", "unit": "sec", "queries", "sf", ...}``.
+
+Scaling evidence (BASELINE.json north_rule: throughput scaling
+efficiency ≥0.8 between N and 4N executors — evidenced in this sandbox
+by local[8] vs local[32] per BASELINE.md): unless
+``SPARK_GRAFT_SKIP_SCALING=1``, the same flagship rollup job is run in
+two child processes at both parallelism levels on the same input, and
+throughput (turns/sec) + efficiency are reported and appended to
+``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "rollup_minute",
+    "rollup_hour",
+    "rollup_day",
+    "rollup_global",
+    "rollup_filtered",
+    "pair_deltas",
+    "percentile_exact",
+    "topk_convs",
+]
+
+# Scaling study input: the driver's sf0.1 events table (100k rows) is
+# far too small for parallelism to matter — fixed job overhead dominates
+# and any efficiency number would be noise.  Per the north rule the
+# input is synthesized deterministically at a scale where compute
+# dominates (seeded generator, no external data), cached under
+# .benchdata/ (gitignored).
+BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "10000000"))
+
+
+def _force(df) -> int:
+    """Fully execute a DataFrame without driver collection."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def _input_rows(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+
+
+def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
+    from rollup_engine.queries import QUERIES
+    from rollup_engine.session import get_spark
+
+    spark = get_spark(
+        "rollup-bench", master=f"local[{cpus}]"
+    )
+    # warm-up: JIT/codegen for the scan→window→agg pipeline so the
+    # first timed query isn't charged the JVM's compile time
+    _force(QUERIES["rollup_minute"](spark, sf_dir))
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(QUERIES[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def ensure_bench_table(turns: int = BENCH_TURNS) -> str:
+    """Deterministic synthetic transcript parquet for the scaling study
+    (seed=42; ~100 turns/conv; a few hot conversations for skew)."""
+    path = os.path.join(REPO, ".benchdata", f"transcripts_{turns}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from rollup_engine.generate import synthetic_transcripts
+    from rollup_engine.session import get_spark
+
+    spark = get_spark("bench-gen")
+    n_convs = max(1, turns // 100)
+    df = synthetic_transcripts(
+        spark, n_convs=n_convs, turns_per_conv=100, hot_convs=3, hot_factor=100
+    )
+    df.repartition(64, "conv_id").write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_scaling_child(table: str, cpus: int) -> None:
+    from rollup_engine.deltas import with_deltas
+    from rollup_engine.rollup import global_rollup, rollup
+    from rollup_engine.session import get_spark
+    from rollup_engine.transcripts import clean
+
+    spark = get_spark(
+        f"rollup-scale-{cpus}", master=f"local[{cpus}]"
+    )
+    raw = spark.read.parquet(table)
+    deltas = with_deltas(clean(raw))
+
+    def job():
+        _force(rollup(deltas, "minute"))
+        _force(global_rollup(deltas))
+
+    # One untimed pass: JIT/whole-stage-codegen warm-up (measured 6×
+    # cold-vs-hot on identical stages).  Cluster throughput at 100 TB is
+    # steady-state, so that's what we time.
+    job()
+    t0 = time.perf_counter()
+    job()
+    sec = time.perf_counter() - t0
+    print(json.dumps({"cpus": cpus, "sec": sec}))
+
+
+def run_scaling(levels=(8, 32)) -> dict:
+    table = ensure_bench_table()
+    import pyarrow.dataset as ds
+
+    turns = ds.dataset(table, format="parquet").count_rows()
+    results = {}
+    for cpus in levels:
+        out = subprocess.run(
+            [sys.executable, __file__, "--scale-child", str(cpus), table],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        sec = json.loads(line)["sec"]
+        results[cpus] = {"sec": round(sec, 3), "turns_per_sec": round(turns / sec, 1)}
+    lo, hi = levels
+    eff = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / (hi / lo)
+    return {
+        "levels": list(levels),
+        "per_level": {str(k): v for k, v in results.items()},
+        "efficiency": round(eff, 3),
+        "input_turns": turns,
+        "bench_table": table,
+    }
+
+
+def write_baseline_md(payload: dict) -> None:
+    sc = payload.get("scaling")
+    lines = [
+        "# BENCH/BASELINE.md — measured throughput + scaling evidence",
+        "",
+        f"sf dir: `{payload['sf_dir']}` ({payload['input_turns']:,} turns)",
+        "",
+        "## Headline query wall times (local[%d])" % payload["cpus"],
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    lines += [f"| {k} | {v} |" for k, v in payload["queries"].items()]
+    if sc:
+        lines += [
+            "",
+            "## Two-parallelism scaling (N vs 4N cores — the sandbox",
+            "stand-in for N vs 4N executors per BASELINE.md)",
+            "",
+            f"Input: deterministic synthetic transcripts, "
+            f"{sc['input_turns']:,} turns (seed=42). Flagship job: clean → "
+            "window-lag deltas → minute rollup + global rollup.",
+            "",
+            "| cores | flagship sec | turns/sec |",
+            "|---|---|---|",
+        ]
+        for k, v in sc["per_level"].items():
+            lines.append(f"| local[{k}] | {v['sec']} | {v['turns_per_sec']} |")
+        lines += [
+            "",
+            f"**Scaling efficiency = (T{sc['levels'][1]}/T{sc['levels'][0]})"
+            f" / {sc['levels'][1] // sc['levels'][0]} = {sc['efficiency']}**"
+            " (target ≥ 0.8)",
+        ]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    if len(sys.argv) > 3 and sys.argv[1] == "--scale-child":
+        run_scaling_child(sys.argv[3], int(sys.argv[2]))
+        return
+
+    times = run_headline(sf_dir, cpus)
+    payload = {
+        "metric": "headline_rollup_suite",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "sf_dir": sf_dir,
+        "cpus": cpus,
+        "input_turns": _input_rows(sf_dir),
+    }
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        payload["scaling"] = run_scaling()
+        payload["scaling_efficiency"] = payload["scaling"]["efficiency"]
+    write_baseline_md(payload)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

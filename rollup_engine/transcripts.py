@@ -1,0 +1,101 @@
+"""Adapters that produce the canonical transcript DataFrame.
+
+Two sources:
+- ``from_events(spark, sf_dir)`` — the driver's deterministic ``events``
+  parquet reshaped into the transcript schema (documented mapping below,
+  mirrored 1:1 in the DuckDB oracle SQL in ``__spark_entry__.py``).
+- ``rollup_engine.generate.synthetic_transcripts`` — seeded generator for
+  scale/skew tests (ports the shape of the reference's
+  src/test/generate_random_log.py).
+
+Mapping events → transcripts (kept SQL-expressible for the oracle):
+  conv_id  = cast(user_id as string)
+  turn_idx = row_number() over (partition by user_id
+                                order by ts, event_id) - 1
+  role     = event_type
+  text     = props
+  tool     = 'error:4xx' / 'error:5xx' when event_type = 'error'
+             (split deterministically on event_id % 2), else event_type
+  ts       = ts
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver testdata ``events`` → transcript schema.
+
+    The window shuffles once on ``user_id``; every downstream per-conv
+    operator (deltas) reuses that partitioning, so the whole
+    scan→turn_idx→lag pipeline is a single exchange.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - F.lit(1)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(
+            F.col("event_type") == "error",
+            F.when(F.col("event_id") % 2 == 0, F.lit("error:4xx")).otherwise(
+                F.lit("error:5xx")
+            ),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("tool"),
+        # parquet TIMESTAMP_NTZ → session-TZ (UTC) instant; shift-free
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+
+
+# The same mapping as ANSI SQL for the DuckDB oracle (single source of
+# truth — __spark_entry__.py embeds this as a CTE).
+EVENTS_TO_TRANSCRIPTS_SQL = """
+    SELECT
+        CAST(user_id AS VARCHAR) AS conv_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - 1 AS INTEGER) AS turn_idx,
+        event_type AS role,
+        props AS text,
+        CASE WHEN event_type = 'error'
+             THEN CASE WHEN event_id % 2 = 0
+                       THEN 'error:4xx' ELSE 'error:5xx' END
+             ELSE event_type END AS tool,
+        ts
+    FROM events
+"""
+
+
+def clean(df: DataFrame) -> DataFrame:
+    """Malformed-row tolerance (reference drops unparseable lines
+    silently, /root/reference/src/main.rs:103-107): rows with null
+    ts / null conv_id / null-or-negative turn_idx are dropped; duplicate
+    (conv_id, turn_idx) keep the earliest-ts row (stable ordering).
+    """
+    valid = df.where(
+        F.col("ts").isNotNull()
+        & F.col("conv_id").isNotNull()
+        & F.col("turn_idx").isNotNull()
+        & (F.col("turn_idx") >= 0)
+    )
+    # Dedupe with the SAME window partitioning the downstream lag uses
+    # (conv_id), ordered by (turn_idx, ts): a row survives iff it is the
+    # first row of its turn_idx.  Catalyst then reuses one exchange and
+    # one sort across clean → with_deltas (hash(conv_id) satisfies both
+    # windows; the (turn_idx, ts) sort is a superset of the lag's
+    # turn_idx ordering).
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", F.col("ts").asc())
+    prev_idx = F.lag("turn_idx").over(w)
+    return (
+        valid.withColumn("_dup", prev_idx.isNotNull() & (prev_idx == F.col("turn_idx")))
+        .where(~F.col("_dup"))
+        .drop("_dup")
+    )
