@@ -133,6 +133,59 @@ def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_nearest_rank(_deltas(spark, sf_dir), "delta_ms", [0.5, 0.9, 0.99])
 
 
+_STD_COLS = [
+    "tier",
+    "bucket_start",
+    "turn_count",
+    "lat_min_ms",
+    "lat_max_ms",
+    "lat_avg_ms",
+    "lat_p50_ms",
+    "lat_p90_ms",
+    "lat_p99_ms",
+    "lat_sum_ms",
+    "err4xx_rate",
+    "err5xx_rate",
+]
+
+
+def q_rollup_sketch_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized sketch-carrying rollup — must equal the SQL
+    minute rollup exactly (histogram sketch is lossless)."""
+    from .sketch_rollup import sketch_rollup
+
+    return sketch_rollup(_deltas(spark, sf_dir), "minute").select(*_STD_COLS)
+
+
+def q_rollup_hour_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minute→hour by sketch merge, verified against a DIRECT hour
+    rollup oracle: the cascade never re-reads raw data yet matches it."""
+    from .retention import cascade
+    from .sketch_rollup import sketch_rollup
+
+    minute = sketch_rollup(_deltas(spark, sf_dir), "minute")
+    return cascade(minute, "hour").select(*_STD_COLS)
+
+
+def q_rollup_day_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minute→hour→day double cascade vs direct day-rollup oracle."""
+    from .retention import cascade
+    from .sketch_rollup import sketch_rollup
+
+    minute = sketch_rollup(_deltas(spark, sf_dir), "minute")
+    return cascade(cascade(minute, "hour"), "day").select(*_STD_COLS)
+
+
+def q_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defusing salted rollup (K=4 shards per bucket, merged) vs
+    the plain hour oracle — salting must not change results."""
+    from .sketch_rollup import sketch_rollup
+
+    return sketch_rollup(_deltas(spark, sf_dir), "hour", salt_buckets=4).select(
+        *_STD_COLS
+    )
+
+
 def q_topk_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort/limit sanity: busiest conversations by turn count."""
     return (
@@ -157,6 +210,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "empty_bucket": q_empty_bucket,
     "percentile_exact": q_percentile_exact,
     "topk_convs": q_topk_convs,
+    "rollup_sketch_minute": q_rollup_sketch_minute,
+    "rollup_hour_cascade": q_rollup_hour_cascade,
+    "rollup_day_cascade": q_rollup_day_cascade,
+    "rollup_salted": q_rollup_salted,
 }
 
 _TERM_MATCH = (
@@ -222,4 +279,9 @@ ORACLES: dict[str, str] = {
         GROUP BY conv_id
         ORDER BY n_turns DESC, conv_id ASC
         LIMIT 10""",
+    # sketch/cascade paths must reproduce the plain SQL rollups exactly
+    "rollup_sketch_minute": _rollup_tier_sql("minute"),
+    "rollup_hour_cascade": _rollup_tier_sql("hour"),
+    "rollup_day_cascade": _rollup_tier_sql("day"),
+    "rollup_salted": _rollup_tier_sql("hour"),
 }
