@@ -1,0 +1,189 @@
+"""Incremental, resumable continuous-aggregate refresh.
+
+The reference's "continuous" mode is cron re-running the whole pipeline
+over a trailing window every minute (/root/reference/README.md:126-147).
+Here each refresh processes ONLY the turns appended since the last
+checkpointed snapshot:
+
+1. incremental read (snapshot_ckpt, current]  — new turns only
+2. stitch deltas across the batch boundary with the conversation-state
+   table (last seen (turn_idx, ts) per conv) so the first new turn of a
+   conversation still gets its inter-turn delta
+3. minute-tier hist_rollup of the new deltas
+4. merge into the stored minute tier — ONLY buckets touched by new data
+   are re-merged (hist merge is associative); untouched buckets are
+   carried over unchanged
+5. atomically commit {rollup table, conv state, checkpoint json}
+
+Crash-safety / resumability: every artifact write goes to a directory
+versioned by the TARGET snapshot id, and the checkpoint pointer is
+renamed into place last.  A kill anywhere before the pointer flip
+leaves the old checkpoint intact; the re-run recomputes the same target
+version byte-identically (inputs are immutable snapshots) — pinned by
+tests/test_incremental.py::test_crash_resume_identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .checkpoint import SnapshotStore
+from .deltas import DELTA_COL
+from .hist_rollup import HIST_ROLLUP_SCHEMA, hist_cascade, hist_rollup
+from .transcripts import clean
+
+
+class IncrementalRollup:
+    """Maintains <work>/minute_v{S}/ + conv_state_v{S}/ + CHECKPOINT."""
+
+    def __init__(self, store: SnapshotStore, workdir: str, tier: str = "minute"):
+        self.store = store
+        self.workdir = workdir
+        self.tier = tier
+        os.makedirs(workdir, exist_ok=True)
+
+    # ------------------------------------------------------------ state
+
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.workdir, "CHECKPOINT.json")
+
+    def checkpoint(self) -> dict:
+        if not os.path.exists(self._ckpt_path()):
+            return {"snapshot_id": 0, "version": 0, "metrics": {}}
+        with open(self._ckpt_path()) as f:
+            return json.load(f)
+
+    def rollup_path(self, version: int) -> str:
+        return os.path.join(self.workdir, f"{self.tier}_v{version:08d}")
+
+    def state_path(self, version: int) -> str:
+        return os.path.join(self.workdir, f"conv_state_v{version:08d}")
+
+    def read_rollup(self, spark: SparkSession) -> DataFrame:
+        ck = self.checkpoint()
+        if ck["version"] == 0:
+            return spark.createDataFrame(
+                [], HIST_ROLLUP_SCHEMA.add("tier", "string")
+            ).select("tier", *[f.name for f in HIST_ROLLUP_SCHEMA.fields])
+        return spark.read.parquet(self.rollup_path(ck["version"]))
+
+    # -------------------------------------------------------------- run
+
+    def refresh(self, spark: SparkSession) -> dict:
+        """One incremental refresh; returns the new checkpoint dict."""
+        ck = self.checkpoint()
+        current = self.store.current_snapshot_id()
+        if current <= ck["snapshot_id"]:
+            return ck  # nothing new
+        version = ck["version"] + 1
+
+        new_turns = clean(
+            self.store.incremental(spark, ck["snapshot_id"], current)
+        )
+
+        # --- boundary stitch: prepend each conv's last known turn
+        if ck["version"] > 0:
+            state = spark.read.parquet(self.state_path(ck["version"]))
+            boundary = state.select(
+                "conv_id",
+                F.col("turn_idx"),
+                F.lit(None).cast("string").alias("role"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                F.col("ts"),
+                F.lit(True).alias("_state"),
+            )
+            unioned = new_turns.withColumn("_state", F.lit(False)).unionByName(
+                boundary
+            )
+        else:
+            unioned = new_turns.withColumn("_state", F.lit(False))
+
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        deltas = (
+            unioned.withColumn(
+                DELTA_COL,
+                F.floor(
+                    (
+                        F.unix_micros(F.col("ts"))
+                        - F.unix_micros(F.lag("ts").over(w))
+                    )
+                    / F.lit(1000)
+                ).cast("long"),
+            )
+            .where(~F.col("_state"))  # state rows only feed the lag
+            .where(F.col(DELTA_COL).isNotNull())
+        )
+
+        new_rollup = hist_rollup(deltas, self.tier)
+
+        # --- merge: only touched buckets re-merge
+        old = self.read_rollup(spark) if ck["version"] > 0 else None
+        if old is not None:
+            touched = new_rollup.select("bucket_start").distinct()
+            untouched = old.join(
+                F.broadcast(touched), "bucket_start", "left_anti"
+            )
+            to_merge = old.join(F.broadcast(touched), "bucket_start").unionByName(
+                new_rollup
+            )
+            merged = hist_cascade(to_merge, self.tier)  # same-tier merge
+            result = untouched.select(merged.columns).unionByName(merged)
+        else:
+            result = new_rollup
+
+        # --- new conv state = max(turn) per conv across old state + new
+        latest = new_turns.groupBy("conv_id").agg(
+            F.max(F.struct("turn_idx", "ts")).alias("m")
+        )
+        new_state = latest.select(
+            "conv_id", F.col("m.turn_idx").alias("turn_idx"), F.col("m.ts").alias("ts")
+        )
+        if ck["version"] > 0:
+            prev = spark.read.parquet(self.state_path(ck["version"]))
+            new_state = (
+                prev.unionByName(new_state)
+                .groupBy("conv_id")
+                .agg(F.max(F.struct("turn_idx", "ts")).alias("m"))
+                .select(
+                    "conv_id",
+                    F.col("m.turn_idx").alias("turn_idx"),
+                    F.col("m.ts").alias("ts"),
+                )
+            )
+
+        # --- versioned writes, checkpoint pointer flipped last
+        result.write.mode("overwrite").parquet(self.rollup_path(version))
+        new_state.write.mode("overwrite").parquet(self.state_path(version))
+        new_ck = {
+            "snapshot_id": current,
+            "version": version,
+            "metrics": {
+                "refreshed_from_snapshot": ck["snapshot_id"],
+                "buckets_total": result.count(),
+                "convs_tracked": new_state.count(),
+            },
+        }
+        tmp = self._ckpt_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_ck, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._ckpt_path())
+        self._gc(version)
+        return new_ck
+
+    def _gc(self, keep_version: int) -> None:
+        """Drop superseded artifact versions (post-commit, best-effort)."""
+        for d in os.listdir(self.workdir):
+            full = os.path.join(self.workdir, d)
+            if not os.path.isdir(full):
+                continue
+            for prefix in (f"{self.tier}_v", "conv_state_v"):
+                if d.startswith(prefix):
+                    v = int(d[len(prefix) :])
+                    if v < keep_version:
+                        shutil.rmtree(full, ignore_errors=True)

@@ -186,6 +186,35 @@ def q_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spine + LOCF over the minute tier; gap rows keep count=0 and
+    null metrics (A6 × gap-fill contract)."""
+    from .gapfill import gapfill
+
+    g = gapfill(
+        rollup(_deltas(spark, sf_dir), "minute"),
+        "minute",
+        locf_cols=["lat_avg_ms"],
+    )
+    return g.select(
+        "bucket_start", "turn_count", "is_gap", "lat_avg_ms", "lat_avg_ms_locf"
+    )
+
+
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across gaps (observed rows pass through)."""
+    from .gapfill import gapfill
+
+    g = gapfill(
+        rollup(_deltas(spark, sf_dir), "minute"),
+        "minute",
+        interp_cols=["lat_avg_ms"],
+    )
+    return g.select(
+        "bucket_start", "turn_count", "is_gap", "lat_avg_ms_interp"
+    )
+
+
 def q_topk_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort/limit sanity: busiest conversations by turn count."""
     return (
@@ -210,6 +239,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "empty_bucket": q_empty_bucket,
     "percentile_exact": q_percentile_exact,
     "topk_convs": q_topk_convs,
+    "gapfill_locf": q_gapfill_locf,
+    "gapfill_interp": q_gapfill_interp,
     "rollup_sketch_minute": q_rollup_sketch_minute,
     "rollup_hour_cascade": q_rollup_hour_cascade,
     "rollup_day_cascade": q_rollup_day_cascade,
@@ -279,6 +310,66 @@ ORACLES: dict[str, str] = {
         GROUP BY conv_id
         ORDER BY n_turns DESC, conv_id ASC
         LIMIT 10""",
+    "gapfill_locf": f"""{_DELTAS_CTE},
+        r AS (
+            SELECT date_trunc('minute', ts) AS bucket_start, {_METRICS_SQL}
+            FROM d WHERE delta_ms IS NOT NULL GROUP BY 1
+        ),
+        bounds AS (SELECT MIN(bucket_start) lo, MAX(bucket_start) hi FROM r),
+        spine AS (
+            SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 MINUTE))
+                   AS bucket_start FROM bounds
+        )
+        SELECT s.bucket_start,
+               COALESCE(r.turn_count, 0) AS turn_count,
+               r.turn_count IS NULL AS is_gap,
+               r.lat_avg_ms,
+               last_value(r.lat_avg_ms IGNORE NULLS) OVER (
+                   ORDER BY s.bucket_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS lat_avg_ms_locf
+        FROM spine s LEFT JOIN r ON s.bucket_start = r.bucket_start""",
+    "gapfill_interp": f"""{_DELTAS_CTE},
+        r AS (
+            SELECT date_trunc('minute', ts) AS bucket_start, {_METRICS_SQL}
+            FROM d WHERE delta_ms IS NOT NULL GROUP BY 1
+        ),
+        bounds AS (SELECT MIN(bucket_start) lo, MAX(bucket_start) hi FROM r),
+        spine AS (
+            SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 MINUTE))
+                   AS bucket_start FROM bounds
+        ),
+        j AS (
+            SELECT s.bucket_start, r.turn_count, r.lat_avg_ms,
+                   CAST(epoch(s.bucket_start) AS BIGINT) AS t
+            FROM spine s LEFT JOIN r ON s.bucket_start = r.bucket_start
+        ),
+        w AS (
+            SELECT *,
+                last_value(lat_avg_ms IGNORE NULLS) OVER past  AS prev_v,
+                last_value(CASE WHEN lat_avg_ms IS NOT NULL THEN t END
+                           IGNORE NULLS) OVER past AS prev_t,
+                first_value(lat_avg_ms IGNORE NULLS) OVER fut  AS next_v,
+                first_value(CASE WHEN lat_avg_ms IS NOT NULL THEN t END
+                            IGNORE NULLS) OVER fut AS next_t
+            FROM j
+            WINDOW
+              past AS (ORDER BY bucket_start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              fut  AS (ORDER BY bucket_start
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT bucket_start,
+               COALESCE(turn_count, 0) AS turn_count,
+               turn_count IS NULL AS is_gap,
+               CASE WHEN lat_avg_ms IS NOT NULL
+                    THEN CAST(lat_avg_ms AS DOUBLE)
+                    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                    THEN prev_v + (next_v - prev_v) * (t - prev_t)
+                         / (next_t - prev_t)
+                    ELSE CAST(COALESCE(prev_v, next_v) AS DOUBLE)
+               END AS lat_avg_ms_interp
+        FROM w""",
     # sketch/cascade paths must reproduce the plain SQL rollups exactly
     "rollup_sketch_minute": _rollup_tier_sql("minute"),
     "rollup_hour_cascade": _rollup_tier_sql("hour"),

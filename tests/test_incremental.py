@@ -1,0 +1,138 @@
+"""Snapshot store + incremental refresh: equivalence with full
+recompute, boundary stitching, crash-resume identity."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from rollup_engine.checkpoint import SnapshotStore
+from rollup_engine.deltas import with_deltas
+from rollup_engine.generate import synthetic_transcripts
+from rollup_engine.hist_rollup import hist_rollup
+from rollup_engine.incremental import IncrementalRollup
+from rollup_engine.transcripts import clean
+
+METRICS = [
+    "bucket_start", "turn_count", "lat_min_ms", "lat_max_ms", "lat_avg_ms",
+    "lat_p50_ms", "lat_p90_ms", "lat_p99_ms", "lat_sum_ms",
+    "err4xx_cnt", "err5xx_cnt", "err4xx_rate", "err5xx_rate",
+]
+
+
+def _pdf(df):
+    return (
+        df.select(METRICS).toPandas().set_index("bucket_start").sort_index()
+    )
+
+
+@pytest.fixture()
+def data(spark, tmp_path):
+    full = synthetic_transcripts(
+        spark, n_convs=60, turns_per_conv=40, hot_convs=1, hot_factor=5
+    ).cache()
+    b1 = full.where("turn_idx < 20")
+    b2 = full.where("turn_idx >= 20")
+    store = SnapshotStore(str(tmp_path / "store"))
+    return full, b1, b2, store, str(tmp_path / "work")
+
+
+def test_incremental_equals_full_recompute(spark, data):
+    import pandas as pd
+
+    full, b1, b2, store, work = data
+    job = IncrementalRollup(store, work)
+
+    store.append(b1)
+    ck1 = job.refresh(spark)
+    assert ck1["snapshot_id"] == 1 and ck1["version"] == 1
+
+    store.append(b2)
+    ck2 = job.refresh(spark)
+    assert ck2["snapshot_id"] == 2 and ck2["version"] == 2
+
+    expected = hist_rollup(with_deltas(clean(full)), "minute")
+    pd.testing.assert_frame_equal(
+        _pdf(job.read_rollup(spark)), _pdf(expected), check_dtype=False
+    )
+
+
+def test_boundary_stitch_gives_cross_batch_deltas(spark, data):
+    """The first turn of batch 2 must still get its delta from the last
+    turn of batch 1 (conversation-state table)."""
+    full, b1, b2, store, work = data
+    job = IncrementalRollup(store, work)
+    store.append(b1)
+    job.refresh(spark)
+    store.append(b2)
+    job.refresh(spark)
+    total = (
+        job.read_rollup(spark).selectExpr("sum(turn_count) s").collect()[0].s
+    )
+    expected_pairs = with_deltas(clean(full)).count()
+    assert total == expected_pairs  # no deltas lost at the batch seam
+
+
+def test_noop_refresh(spark, data):
+    _, b1, _, store, work = data
+    job = IncrementalRollup(store, work)
+    store.append(b1)
+    ck = job.refresh(spark)
+    again = job.refresh(spark)  # no new snapshot
+    assert again == ck
+
+
+def test_crash_resume_identical(spark, data):
+    """Kill after artifact writes but BEFORE the checkpoint pointer flip
+    → re-run reproduces the exact same rollup (snapshot inputs are
+    immutable, writes are idempotent per target version)."""
+    import pandas as pd
+
+    full, b1, b2, store, work = data
+    job = IncrementalRollup(store, work)
+    store.append(b1)
+    job.refresh(spark)
+    store.append(b2)
+
+    # normal path (reference result), in a parallel workdir
+    work2 = work + "_ref"
+    shutil.copytree(work, work2)
+    ref_job = IncrementalRollup(store, work2)
+    ref_job.refresh(spark)
+    ref = _pdf(ref_job.read_rollup(spark))
+
+    # crash path: run refresh with GC disabled (GC only runs after the
+    # pointer flip, so a pre-flip crash leaves old artifacts intact),
+    # then revert the checkpoint pointer — simulating a kill between the
+    # data write and the pointer flip
+    ck_before = json.load(open(os.path.join(work, "CHECKPOINT.json")))
+    job._gc = lambda v: None
+    job.refresh(spark)
+    with open(os.path.join(work, "CHECKPOINT.json"), "w") as f:
+        json.dump(ck_before, f)
+    # v2 artifacts exist on disk, checkpoint still points at v1 → retry
+    retry = IncrementalRollup(store, work)
+    ck = retry.refresh(spark)
+    assert ck["version"] == 2
+    pd.testing.assert_frame_equal(
+        _pdf(retry.read_rollup(spark)), ref, check_dtype=False
+    )
+
+
+def test_lineage_manifests(spark, data):
+    _, b1, b2, store, _ = data
+    store.append(b1)
+    store.append(b2)
+    ms = store.manifests()
+    assert [m["snapshot_id"] for m in ms] == [1, 2]
+    assert ms[1]["parent_id"] == 1
+    for m in ms:
+        assert m["metrics"]["added_rows"] > 0
+        for f, st in m["lineage"].items():
+            assert st["rows"] > 0 and st["ts_min"] is not None
+    # incremental read returns exactly batch-2 rows
+    inc = store.incremental(spark, 1, 2)
+    assert inc.count() == ms[1]["metrics"]["added_rows"]
