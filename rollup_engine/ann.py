@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``      brute-force exact top-k for a query vector —
+  dot product via ``zip_with``/``aggregate`` (JVM higher-order
+  functions, no UDF), ``ORDER BY score LIMIT k``.  The correctness
+  baseline; O(N·d) per query, embarrassingly parallel.
+- ``rp_lsh_topk``      random-hyperplane LSH: H seeded hyperplanes →
+  sign-bit signature → probe buckets within Hamming ≤ radius of the
+  query signature → exact re-rank inside the probed buckets.  The scale
+  path: candidates shrink by ~2^H/(probed buckets).
+- ``cosine_pairs``     embedding near-duplicate pairs (shared kernel
+  with dedup): bucket join on LSH signature then exact cosine verify.
+
+Hyperplanes are generated from a seeded ``numpy.RandomState`` and
+broadcast as literals inside the plan — deterministic, no external
+state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _lit_vec(v) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine (score rounded to 6dp for
+    cross-engine stability; ties broken by id)."""
+    q = _lit_vec(query_vec)
+    scored = df.select(
+        F.col(id_col),
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), q), 6
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(nbits, dim))
+
+
+def rp_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit signature: bit i set iff vec · plane_i > 0 (JVM)."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        sig = sig + F.when(_dot(vec, _lit_vec(p)) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return sig
+
+
+def rp_lsh_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    nbits: int = 12,
+    hamming_radius: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe LSH buckets near the query signature,
+    exact-rank within.  Multi-probing (radius over the signature) trades
+    recall for candidate count without rebuilding the index."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, nbits, seed)
+    v = F.col(vec_col).cast("array<double>")
+    signed = df.select(F.col(id_col), v.alias("_v"), rp_signature(v, planes).alias("sig"))
+    qsig = int(
+        sum(
+            (1 << i)
+            for i, p in enumerate(planes)
+            if float(np.dot(np.asarray(query_vec, dtype=float), p)) > 0
+        )
+    )
+    probed = signed.where(
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= hamming_radius
+    )
+    q = _lit_vec(query_vec)
+    return (
+        probed.select(
+            F.col(id_col), F.round(cosine(F.col("_v"), q), 6).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    nbits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs: LSH-bucket equi-join (exact signature
+    match) → exact cosine verify.  At high thresholds near-dups collide
+    on all bits with high probability; precision is exact."""
+    dim = int(df.select(F.size(vec_col)).first()[0])
+    planes = _hyperplanes(dim, nbits, seed)
+    v = F.col(vec_col).cast("array<double>")
+    signed = df.select(
+        F.col(id_col).alias("id"), v.alias("_v"), rp_signature(v, planes).alias("sig")
+    )
+    return (
+        signed.alias("a")
+        .join(signed.alias("b"), "sig")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )

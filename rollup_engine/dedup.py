@@ -1,0 +1,257 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each Spark-first:
+
+- exact        hash-groupBy on the normalized-text fingerprint (JVM)
+- ngram-jaccard  shingle inverted-index join → exact Jaccard (JVM)
+- MinHash+LSH  shingle → K minhashes → B bands → band-bucket join →
+               candidate verify (JVM expressions throughout; hashes are
+               md5-derived so the DuckDB oracle can reproduce them)
+- SimHash      64-bit majority-vote signature over token hashes;
+               near-dup = Hamming distance ≤ k via bit_count(xor)
+- embedding-cosine  see ann.py (shared kernel)
+
+Scale notes: every pairwise step goes through an inverted-index
+(explode → equi-join) rather than a cross join, so candidate generation
+is O(postings), shuffled on shingle/band/bucket keys.  Frequent-shingle
+hot keys are the skew hazard — ``max_posting`` truncates a shingle's
+posting list (standard df-cap), bounding any single join key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import fingerprint, normalize_text
+
+# --------------------------------------------------------------- helpers
+
+# md5-derived 60-bit hash — reproducible in DuckDB SQL, unlike xxhash64.
+def md5_long(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def shingles(text: Column, n: int = 5) -> Column:
+    """Word n-gram shingles of the normalized text (distinct)."""
+    words = F.split(normalize_text(text), " ")
+    m = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(m - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+    )
+    return F.array_distinct(
+        F.when(m >= n, grams).otherwise(F.array(F.array_join(words, " ")))
+    )
+
+
+# ----------------------------------------------------------------- exact
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Survivors of exact dedup: min id per normalized-text fingerprint."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .select(id_col, "fp", "dup_count")
+    )
+
+
+# --------------------------------------------------------- ngram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via shingle inverted index.
+
+    |A∩B| counted from the index join; |A∪B| = |A|+|B|−|A∩B|.  The
+    posting-list cap bounds join-key skew (a shingle shared by p docs
+    creates p² candidate contributions).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    capped = sh.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("sh").orderBy("id"))
+    ).where(F.col("_rn") <= max_posting)
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "sh")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ------------------------------------------------------------ minhash lsh
+
+MINHASH_PERMS = 64
+LSH_BANDS = 16  # 16 bands × 4 rows
+# 2^31−1: keeps a·h + b < 2^62 so the JVM's ANSI long arithmetic never
+# overflows (a, h < 2^31), while 31-bit minhashes stay collision-safe
+# for realistic shingle-set sizes.
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _perm_params(k: int = MINHASH_PERMS) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation — seeded LCG constants."""
+    params = []
+    a, b = 0x9E3779B9, 0xC2B2AE3D
+    for _ in range(k):
+        a = (a * 1103515245 + 12345) % _MERSENNE31
+        b = (b * 1103515245 + 12345) % _MERSENNE31
+        params.append((a | 1, b))
+    return params
+
+
+def minhash_signature(text: Column, n: int = 5, k: int = MINHASH_PERMS) -> Column:
+    """Array of K minhash values, all JVM: base hash per shingle via
+    md5_long reduced mod 2^31−1, permuted by (a·h + b) mod 2^31−1,
+    min-folded per perm."""
+    hs = F.transform(
+        shingles(text, n), lambda s: F.pmod(md5_long(s), F.lit(_MERSENNE31))
+    )
+    perms = _perm_params(k)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hs,
+                    lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31),
+                )
+            )
+            for a, b in perms
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 5,
+    k: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs via band-bucket join, verified with exact Jaccard
+    (so precision is 1; recall is the LSH curve 1−(1−s^r)^b)."""
+    r = k // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), n, k).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice(F.col("sig"), i * r + 1, r).cast("string"))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(
+        df, threshold=0.0, n=n, id_col=id_col, text_col=text_col
+    )
+    return (
+        cand.join(exact, ["id_a", "id_b"])
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash: per-token md5-derived hash, majority vote per
+    bit, built as a JVM expression tree (64 bit-count aggregations over
+    the token array — codegen'd, no UDF)."""
+    toks = F.split(normalize_text(text), " ")
+    hs = F.transform(toks, lambda t: md5_long(t))
+    n = F.size(hs)
+    bits = []
+    for i in range(60):  # md5_long yields 60 usable bits
+        ones = F.size(
+            F.filter(hs, lambda h: h.bitwiseAND(F.lit(1 << i)) != 0)
+        )
+        bit = F.when(ones * 2 >= n, F.lit(1 << i)).otherwise(F.lit(0))
+        bits.append(bit)
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b  # disjoint bits: sum == OR
+    return out.cast("long")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bits: int = 15,
+) -> DataFrame:
+    """Near-dup pairs at Hamming ≤ max_hamming.  Candidates via the
+    pigeonhole trick: split the 60-bit signature into max_hamming+1
+    bands — any pair within the radius shares at least one exact band —
+    then verify with bit_count(xor)."""
+    nbands = max_hamming + 1
+    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    bandcols = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("sig"), i * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .alias("key"),
+        )
+        for i in range(nbands)
+    ]
+    banded = sig.select("id", "sig", F.explode(F.array(*bandcols)).alias("bk")).select(
+        "id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -247,6 +247,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_salted": q_rollup_salted,
 }
 
+from .queries_data import DATA_ORACLES, DATA_QUERIES  # noqa: E402
+
+QUERIES.update(DATA_QUERIES)
+
 _TERM_MATCH = (
     "(COALESCE(text,'') LIKE '%{t}%' OR COALESCE(tool,'') LIKE '%{t}%' "
     "OR COALESCE(role,'') LIKE '%{t}%')"
@@ -376,3 +380,5 @@ ORACLES: dict[str, str] = {
     "rollup_day_cascade": _rollup_tier_sql("day"),
     "rollup_salted": _rollup_tier_sql("hour"),
 }
+
+ORACLES.update(DATA_ORACLES)

@@ -1,0 +1,242 @@
+"""Training-data pipeline queries (documents/embeddings tables) with
+DuckDB oracles.  SQL mirrors the Spark expressions in formula and IEEE
+operation order so doubles hash-match."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import ann, dedup, multimodal, textops
+
+# --------------------------------------------------------------- loaders
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------- text ops
+
+
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.add_text_features(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "ws_tokens",
+        "bpe_tokens",
+        "avg_word_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "digit_ratio",
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus stats — the groupBy composition over features."""
+    f = textops.add_text_features(_docs(spark, sf_dir))
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("ws_tokens").alias("ws_tokens_total"),
+        F.sum("bpe_tokens").alias("bpe_tokens_total"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact Jaccard; oracle is the full
+    exact-Jaccard pair set at the same threshold — they agree because
+    recall at s≥0.875 with 16 bands × 4 rows is 1−(1−s⁴)¹⁶ ≈ 1−7e-7."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.7)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check: 64-bit majority-vote
+    signatures are not practically expressible in ANSI SQL)."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=6)
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embs(spark, sf_dir)
+    qv = [float(x) for x in e.where("vec_id = 0").first()["embedding"]]
+    return ann.cosine_topk(e, qv, k=10)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH with multiprobe (rows-only check; recall
+    vs brute force pinned in tests/test_dataops.py)."""
+    e = _embs(spark, sf_dir)
+    qv = [float(x) for x in e.where("vec_id = 0").first()["embedding"]]
+    return ann.rp_lsh_topk(e, qv, k=10, nbits=12, hamming_radius=4)
+
+
+def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets (rows-only)."""
+    return ann.cosine_pairs(_embs(spark, sf_dir), threshold=0.9, nbits=8)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_from_documents(_docs(spark, sf_dir))
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select("media_id", "n_bytes", "sha256", "width", "height")
+
+
+DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_features": q_text_features,
+    "token_stats": q_token_stats,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "embedding_pairs": q_embedding_pairs,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+# ----------------------------------------------------------------- SQL
+
+_FEATURES_CTE = r"""
+WITH base AS (
+    SELECT doc_id, source, text,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt,
+           length(text) AS n_chars,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+           len(regexp_extract_all(lower(text),
+               '\b(the|a|an|of|to|and|in|is|it|that|for|on|with|as)\b'))
+               AS stop_hits,
+           len(regexp_extract_all(text, '[^\w\s]')) AS punct,
+           len(regexp_extract_all(text, '[0-9]')) AS digits,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+               AS bpe_tokens,
+           len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|with|for)\b')) AS s_en,
+           len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein)\b')) AS s_de,
+           len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|pour|dans)\b')) AS s_fr,
+           len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|por|para|como)\b')) AS s_es,
+           len(regexp_extract_all(text, '[一-鿿]')) * 3 AS s_zh
+    FROM documents
+),
+ratios AS (
+    SELECT *,
+        round(n_chars / CAST(greatest(n_words, 1) AS DOUBLE), 4) AS avg_word_len,
+        round(stop_hits / CAST(greatest(n_words, 1) AS DOUBLE), 4) AS stopword_ratio,
+        round(punct / CAST(greatest(n_chars, 1) AS DOUBLE), 4) AS punct_ratio,
+        round(digits / CAST(greatest(n_chars, 1) AS DOUBLE), 4) AS digit_ratio
+    FROM base
+),
+feats AS (
+    SELECT *,
+        n_words AS ws_tokens,
+        round(
+            (least(CAST(n_words AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+             + least(stopword_ratio * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+             + CASE WHEN avg_word_len >= 3 AND avg_word_len <= 10
+                    THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END
+            ) / CAST(3.0 AS DOUBLE)
+            * (CAST(1.0 AS DOUBLE)
+               - least(punct_ratio * CAST(2.0 AS DOUBLE)
+                       + digit_ratio * CAST(2.0 AS DOUBLE),
+                       CAST(1.0 AS DOUBLE))),
+            4) AS quality,
+        CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+             WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+             WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+             WHEN s_es > 0 AND s_es >= s_zh THEN 'es'
+             WHEN s_zh > 0 THEN 'zh'
+             ELSE 'und' END AS lang_pred,
+        md5(nt) AS fingerprint
+    FROM ratios
+)"""
+
+_SHINGLES_CTE = r"""
+WITH norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) nt
+    FROM documents
+),
+w AS (SELECT doc_id, regexp_split_to_array(nt, ' ') w FROM norm),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') sh
+    FROM w, UNNEST(generate_series(1, greatest(len(w) - 4, 1))) t(i)
+),
+sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+pairs AS (
+    SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter
+    FROM sh a JOIN sh b USING (sh)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT id_a, id_b,
+           round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = pairs.id_a
+    JOIN sizes sb ON sb.doc_id = pairs.id_b
+)"""
+
+DATA_ORACLES: dict[str, str] = {
+    "text_features": _FEATURES_CTE
+    + """
+    SELECT doc_id, ws_tokens, bpe_tokens, avg_word_len, stopword_ratio,
+           punct_ratio, digit_ratio, quality, lang_pred, fingerprint
+    FROM feats""",
+    "token_stats": _FEATURES_CTE
+    + """
+    SELECT source, count(*) AS docs,
+           sum(ws_tokens) AS ws_tokens_total,
+           sum(bpe_tokens) AS bpe_tokens_total,
+           round(avg(quality), 4) AS avg_quality
+    FROM feats GROUP BY source""",
+    "dedup_exact": r"""
+    SELECT min(doc_id) AS doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           count(*) AS dup_count
+    FROM documents GROUP BY 2""",
+    "dedup_ngram_jaccard": _SHINGLES_CTE
+    + """
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5""",
+    "dedup_minhash_lsh": _SHINGLES_CTE
+    + """
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.7""",
+    "ann_bruteforce": """
+    WITH q AS (
+        SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id = 0
+    ),
+    s AS (
+        SELECT vec_id,
+            list_sum(list_transform(list_zip(embedding::DOUBLE[], qv),
+                                    x -> x[1] * x[2])) AS dot,
+            sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+                AS na,
+            sqrt(list_sum(list_transform(qv, x -> x * x))) AS nb
+        FROM embeddings, q
+    )
+    SELECT vec_id, round(dot / (na * nb), 6) AS score
+    FROM s ORDER BY score DESC, vec_id ASC LIMIT 10""",
+    "multimodal_meta": """
+    SELECT doc_id AS media_id,
+           strlen(text) AS n_bytes,
+           sha256(text) AS sha256,
+           64 + ('0x' || substr(sha256(text), 1, 2))::INT AS width,
+           64 + ('0x' || substr(sha256(text), 3, 2))::INT AS height
+    FROM documents""",
+    # dedup_simhash / ann_lsh / embedding_pairs: rows-only by design
+    # (bit-level signatures and seeded hyperplanes aren't ANSI SQL);
+    # their semantics are pinned in tests/test_dataops.py instead.
+}

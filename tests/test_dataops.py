@@ -1,0 +1,175 @@
+"""Training-data ops: crafted-fixture semantics for the operators whose
+driver check is rows-only (simhash, ann-lsh, embedding pairs) plus
+sanity pins for the oracle-backed ones."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rollup_engine import ann, dedup, multimodal, textops
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm window sill and the birds sing in the garden outside"
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_collapses_whitespace_case(spark):
+    d = _docs(spark, [BASE, BASE.upper(), "  " + BASE.replace(" ", "  "), "other text"])
+    out = dedup.dedup_exact(d).collect()
+    groups = {r.doc_id: r.dup_count for r in out}
+    assert groups == {0: 3, 3: 1}
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    near = BASE.replace("lazy", "sleepy")  # one word changed
+    far = "completely different words about spark and data engineering"
+    d = _docs(spark, [BASE, near, far])
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.3).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
+    assert 0.3 < pairs[0].jaccard < 1.0
+
+
+def test_minhash_lsh_recall_on_crafted_dups(spark):
+    # ~75 distinct-ish words so one changed word kills only ~5 of ~70
+    # shingles → pairwise jaccard ≈0.87, where the 16-band LSH curve is
+    # ≈1 (1−(1−s⁴)¹⁶ ≈ 1−3e−5)
+    long_doc = " ".join(f"{w}{j}" for j in range(3) for w in BASE.split())
+    words = long_doc.split()
+    variants = [long_doc]
+    for i in range(3):
+        w = list(words)
+        w[30] = f"tok{i}"
+        variants.append(" ".join(w))
+    variants += [f"unrelated document number {i} with its own content words {i}"
+                 for i in range(10)]
+    d = _docs(spark, variants)
+    exact = {
+        (p.id_a, p.id_b)
+        for p in dedup.ngram_jaccard_pairs(d, threshold=0.7).collect()
+    }
+    lsh = {
+        (p.id_a, p.id_b)
+        for p in dedup.minhash_lsh_pairs(d, threshold=0.7).collect()
+    }
+    assert exact, "fixture must contain near-dups"
+    assert lsh == exact  # full recall at these similarities, exact precision
+
+
+def test_simhash_hamming_small_for_near_dups(spark):
+    near = BASE.replace("lazy", "sleepy")
+    far = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = _docs(spark, [BASE, near, far])
+    sigs = {
+        r.doc_id: r.s
+        for r in d.select(
+            "doc_id", dedup.simhash64(F.col("text")).alias("s")
+        ).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sigs[0], sigs[1]) <= 6
+    assert ham(sigs[0], sigs[2]) > 10
+
+
+def test_simhash_pairs_pigeonhole(spark):
+    near = BASE.replace("lazy", "sleepy")
+    d = _docs(spark, [BASE, near, "unrelated content entirely " * 5])
+    pairs = dedup.simhash_pairs(d, max_hamming=6).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_ann_bruteforce_orders_by_cosine(spark):
+    rng = np.random.RandomState(7)
+    q = rng.normal(size=16)
+    vecs = [q, q * 3.0, -q] + [rng.normal(size=16) for _ in range(20)]
+    d = _emb_df(spark, vecs)
+    top = ann.cosine_topk(d, q.tolist(), k=3).collect()
+    assert [r.vec_id for r in top][:2] == [0, 1]  # scale-invariant
+    assert top[0].score == pytest.approx(1.0, abs=1e-5)
+    assert {r.vec_id for r in top} & {2} == set()  # opposite vector excluded
+
+
+def test_ann_lsh_recall(spark):
+    rng = np.random.RandomState(11)
+    q = rng.normal(size=32)
+    near = [q + rng.normal(scale=0.05, size=32) for _ in range(5)]
+    noise = [rng.normal(size=32) for _ in range(100)]
+    d = _emb_df(spark, near + noise)
+    exact_ids = [r.vec_id for r in ann.cosine_topk(d, q.tolist(), k=5).collect()]
+    lsh_ids = [
+        r.vec_id
+        for r in ann.rp_lsh_topk(d, q.tolist(), k=5, nbits=12, hamming_radius=3).collect()
+    ]
+    overlap = len(set(exact_ids) & set(lsh_ids)) / 5
+    assert overlap >= 0.8, (exact_ids, lsh_ids)
+
+
+def test_embedding_pairs_finds_planted(spark):
+    rng = np.random.RandomState(3)
+    v = rng.normal(size=24)
+    d = _emb_df(
+        spark,
+        [v, v + rng.normal(scale=0.01, size=24)] + [rng.normal(size=24) for _ in range(30)],
+    )
+    pairs = ann.cosine_pairs(d, threshold=0.95, nbits=8).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
+
+
+def test_lang_id_markers(spark):
+    d = _docs(
+        spark,
+        [
+            "the cat is on the mat and it is warm",
+            "der hund ist nicht mit der katze",
+            "le chat est dans la maison pour dormir",
+            "el perro es una mascota por la casa",
+            "这 是 一个 中文 文档 的 例子",
+            "zzz qqq xxx",
+        ],
+    )
+    out = [r.l for r in d.select(textops.lang_id(F.col("text")).alias("l")).collect()]
+    assert out == ["en", "de", "fr", "es", "zh", "und"]
+
+
+def test_token_counts(spark):
+    d = _docs(spark, ["hello world", "  ", "", "a b  c", "don't stop, 42!"])
+    out = d.select(
+        textops.ws_token_count(F.col("text")).alias("w"),
+        textops.bpe_ish_token_count(F.col("text")).alias("b"),
+    ).collect()
+    assert [r.w for r in out] == [2, 0, 0, 3, 3]
+    # don't stop, 42! → don ' t stop , 4 2 ! = 8
+    assert out[4].b == 8
+
+
+def test_multimodal_stub_determinism(spark):
+    d = _docs(spark, [BASE, "short"])
+    media = multimodal.media_from_documents(
+        d.withColumn("doc_id", F.col("doc_id"))
+    )
+    f1 = multimodal.extract_features(media).orderBy("media_id").collect()
+    f2 = multimodal.extract_features(media.repartition(3)).orderBy("media_id").collect()
+    assert [r.sha256 for r in f1] == [r.sha256 for r in f2]
+    assert [r.feature for r in f1] == [r.feature for r in f2]
+    assert all(len(r.feature) == 8 for r in f1)
+    assert all(64 <= r.width <= 319 for r in f1)
+
+
+def test_multimodal_real_decode_unimplemented():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_image(b"bytes", fake=False)
