@@ -1,0 +1,144 @@
+"""spark-submit entrypoint.
+
+Two modes, one binary — mirroring the reference CLI
+(/root/reference/src/args/mod.rs:23-114) and extending it with the
+engine-native tiered pipeline:
+
+1. **Compatibility mode** (`--logs file1 [file2.gz …]`): analyze AEM
+   request.log files exactly like the reference — optional `-t MINUTES`
+   trailing filter and `--include/--exclude` terms, one global result,
+   fanned out to terminal / Graphite / InfluxDB (same flags, same
+   output bytes).
+2. **Engine mode** (`--transcripts DIR [--workdir DIR]`): build the
+   minute/hour/day continuous-aggregate cascade over a transcript table
+   (one-shot or incremental when --workdir + --snapshot-store given).
+
+Usage on a cluster:
+    spark-submit --py-files rollup_engine.zip -m rollup_engine.job …
+(package with `python -m zipfile -c rollup_engine.zip rollup_engine`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rollup_engine")
+    p.add_argument("--logs", nargs="+", help="request.log files (compat mode)")
+    p.add_argument("--transcripts", help="transcript parquet dir (engine mode)")
+    p.add_argument("--snapshot-store", help="SnapshotStore root (incremental)")
+    p.add_argument("--workdir", help="checkpoint/rollup workdir (incremental)")
+    p.add_argument("--tiers", default="minute,hour,day")
+    p.add_argument("--out", help="output dir for rollup parquet (one-shot)")
+    # reference-parity flags (/root/reference/src/args/mod.rs)
+    p.add_argument("-t", dest="time_filter_minutes", type=int)
+    p.add_argument("--now", help="explicit 'now' for -t (determinism)")
+    p.add_argument("--include", nargs="+", dest="include_terms")
+    p.add_argument("--exclude", nargs="+", dest="exclude_terms")
+    p.add_argument("--graphite-server")
+    p.add_argument("--graphite-port", type=int, default=2003)
+    p.add_argument("--graphite-prefix")
+    p.add_argument("--influxdb-write-url")
+    p.add_argument("--influxdb-tags")
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("--cpus", type=int, default=None)
+    return p
+
+
+def _fan_out(result, args, epoch_seconds: int) -> None:
+    from .render import GraphiteSink, InfluxDbSink, terminal_lines
+
+    if args.graphite_server:
+        GraphiteSink(
+            args.graphite_server, args.graphite_port, args.graphite_prefix
+        ).send(result, epoch_seconds)
+    if args.influxdb_write_url:
+        InfluxDbSink(args.influxdb_write_url, args.influxdb_tags).post(result)
+    if not args.quiet and not (args.graphite_server or args.influxdb_write_url):
+        print("\n".join(terminal_lines(result)))
+
+
+def run_compat(spark, args) -> None:
+    """Reference-equivalent run over request.log files."""
+    import datetime as dt
+
+    from . import filters as flt
+    from .log_source import pairs_as_transcript, read_pairs
+    from .render import RollupResult
+    from .rollup import global_rollup
+
+    t = pairs_as_transcript(read_pairs(spark, args.logs))
+    now = args.now or dt.datetime.now(dt.timezone.utc)
+    if args.include_terms or args.exclude_terms or args.time_filter_minutes:
+        t = t.where(
+            flt.conditions(
+                include=args.include_terms,
+                exclude=args.exclude_terms,
+                now=now if args.time_filter_minutes else None,
+                latest_minutes=args.time_filter_minutes,
+            )
+        )
+    row = global_rollup(t).collect()[0].asDict()
+    result = RollupResult.from_row(row)
+    if result.count == 0:
+        result = RollupResult(count=0)
+    epoch = int(
+        now.timestamp()
+        if hasattr(now, "timestamp")
+        else dt.datetime.fromisoformat(now).timestamp()
+    )
+    _fan_out(result, args, epoch)
+
+
+def run_engine(spark, args) -> None:
+    from .deltas import with_deltas
+    from .hist_rollup import hist_cascade, hist_rollup
+    from .transcripts import clean
+
+    tiers = args.tiers.split(",")
+    if args.snapshot_store and args.workdir:
+        from .checkpoint import SnapshotStore
+        from .incremental import IncrementalRollup
+
+        job = IncrementalRollup(SnapshotStore(args.snapshot_store), args.workdir)
+        ck = job.refresh(spark)
+        if not args.quiet:
+            print(ck)
+        return
+    raw = spark.read.parquet(args.transcripts)
+    deltas = with_deltas(clean(raw))
+    minute = hist_rollup(deltas, "minute")
+    minute.persist()
+    outputs = {"minute": minute}
+    if "hour" in tiers:
+        outputs["hour"] = hist_cascade(minute, "hour").persist()
+    if "day" in tiers:
+        outputs["day"] = hist_cascade(outputs.get("hour", minute), "day")
+    for tier, df in outputs.items():
+        if args.out:
+            df.write.mode("overwrite").parquet(f"{args.out}/{tier}")
+        elif not args.quiet:
+            df.orderBy("bucket_start").show(20, truncate=False)
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    from .session import get_spark
+
+    master = f"local[{args.cpus}]" if args.cpus else None
+    spark = get_spark("rollup_engine_job", master=master)
+    if args.logs:
+        run_compat(spark, args)
+    elif args.transcripts or (args.snapshot_store and args.workdir):
+        run_engine(spark, args)
+    else:
+        print("need --logs or --transcripts/--snapshot-store", file=sys.stderr)
+        sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()

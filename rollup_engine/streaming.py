@@ -1,0 +1,174 @@
+"""Structured Streaming rollup — the continuous-operation mode.
+
+The reference "streams" by cron re-runs over a trailing window
+(/root/reference/README.md:126-147) and buffers unbounded pair state in
+memory (/root/reference/src/request_response_matcher/mod.rs:10-13).
+Here the same contract runs as a real stream:
+
+  readStream (file source over the transcript dir)
+    → stateful inter-turn delta extraction: applyInPandasWithState
+      keyed by conv_id keeps ONE row of state per conversation (last
+      turn_idx + ts) — bounded state, unlike the reference's vectors
+    → watermark on ts (bounded lateness; late turns beyond it dropped,
+      the streaming analog of the reference's trailing-window filter)
+    → tumbling-window aggregate (count/min/max/avg + GK percentiles)
+    → append-mode sink (parquet/memory/foreachBatch merge into the
+      rollup store)
+
+State survives restarts through the streaming checkpoint — the
+streaming twin of incremental.py's snapshot checkpoint (pinned by
+tests/test_streaming.py::test_restart_resumes_state).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .rollup import ERR4, ERR5, error_flag
+from .schema import TRANSCRIPT_SCHEMA
+
+_DELTA_OUT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("delta_ms", T.LongType(), True),
+    ]
+)
+
+# one row per conversation: last seen (turn_idx, ts-in-micros)
+_STATE = T.StructType(
+    [
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("ts_us", T.LongType(), True),
+    ]
+)
+
+
+def _delta_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+    if state.exists:
+        last_idx, last_us = state.get
+    else:
+        last_idx, last_us = None, None
+    batches = [p for p in pdfs if not p.empty]
+    if not batches:
+        return
+    pdf = pd.concat(batches).sort_values("turn_idx", kind="stable")
+    ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+    out = []
+    for idx, us, tool, ts in zip(
+        pdf["turn_idx"], ts_us, pdf["tool"], pdf["ts"]
+    ):
+        if last_idx is not None and idx > last_idx:
+            out.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": int(idx),
+                    "ts": ts,
+                    "tool": tool,
+                    "delta_ms": (us - last_us) // 1000,
+                }
+            )
+        if last_idx is None or idx > last_idx:
+            last_idx, last_us = int(idx), int(us)
+    state.update((last_idx, last_us))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def stream_deltas(turns: DataFrame) -> DataFrame:
+    """Streaming inter-turn deltas with per-conversation state."""
+    return (
+        turns.select("conv_id", "turn_idx", "ts", "tool")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _delta_state_fn,
+            _DELTA_OUT,
+            _STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_minute_rollup(
+    deltas: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-minute aggregate over the delta stream."""
+    d = F.col("delta_ms")
+    return (
+        deltas.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count(d).alias("turn_count"),
+            F.min(d).alias("lat_min_ms"),
+            F.max(d).alias("lat_max_ms"),
+            F.floor(F.avg(d)).cast("long").alias("lat_avg_ms"),
+            F.percentile_approx(d, F.lit(0.5), F.lit(10000))
+            .cast("long")
+            .alias("lat_p50_ms"),
+            F.percentile_approx(d, F.lit(0.9), F.lit(10000))
+            .cast("long")
+            .alias("lat_p90_ms"),
+            F.percentile_approx(d, F.lit(0.99), F.lit(10000))
+            .cast("long")
+            .alias("lat_p99_ms"),
+            F.round(F.avg(error_flag(ERR4)), 4).alias("err4xx_rate"),
+            F.round(F.avg(error_flag(ERR5)), 4).alias("err5xx_rate"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "turn_count",
+            "lat_min_ms",
+            "lat_max_ms",
+            "lat_avg_ms",
+            "lat_p50_ms",
+            "lat_p90_ms",
+            "lat_p99_ms",
+            "err4xx_rate",
+            "err5xx_rate",
+        )
+    )
+
+
+def read_turn_stream(
+    spark: SparkSession, input_dir: str, max_files: int = 64
+) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+
+
+def run_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> None:
+    """One availableNow pass: process every unseen file, update state,
+    append finalized buckets to the parquet sink, stop.  The file sink
+    (unlike memory) supports checkpoint recovery, so repeated calls
+    resume conversation state and watermarks."""
+    turns = read_turn_stream(spark, input_dir)
+    rollup = stream_minute_rollup(stream_deltas(turns))
+    q = (
+        rollup.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

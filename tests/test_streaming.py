@@ -1,0 +1,77 @@
+"""Structured Streaming rollup: stateful deltas, watermark finalize,
+state survival across restarts (streaming twin of the snapshot
+checkpoint)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from rollup_engine.schema import TRANSCRIPT_SCHEMA
+from rollup_engine.streaming import run_stream_once
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _turns(conv, base, deltas_ms, start_idx=0):
+    t = dt.datetime.fromisoformat(base)
+    rows = [(conv, start_idx, "user", "x", "", t)]
+    for i, d in enumerate(deltas_ms, start=start_idx + 1):
+        t = t + dt.timedelta(milliseconds=d)
+        rows.append((conv, i, "user", "x", "", t))
+    return rows
+
+
+def test_stream_rollup_and_restart_state(spark, tmp_path):
+    inp = str(tmp_path / "turns")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    # batch 1: conv a turns 0..3 (deltas 7,10,13) at T0, plus a future
+    # conv to advance the watermark so T0's minute bucket finalizes
+    # (append mode only emits closed windows).
+    _write_batch(
+        spark,
+        inp,
+        _turns("a", "2024-01-01T00:00:00", [7, 10, 13])
+        + _turns("wm", "2024-01-01T12:00:00", [5]),
+    )
+    run_stream_once(spark, inp, ckpt, out)
+    got1 = {
+        r.bucket_start.isoformat(): r
+        for r in spark.read.parquet(out).collect()
+    }
+    b0 = got1["2024-01-01T00:00:00"]
+    assert (b0.turn_count, b0.lat_min_ms, b0.lat_max_ms) == (3, 7, 13)
+    assert b0.lat_p50_ms == 10
+
+    # batch 2 after RESTART: conv a continues at a (watermark-fresh)
+    # later time — its delta must be computed against turn 3's ts
+    # recovered from the checkpointed state.
+    cont = [
+        ("a", 4, "user", "x", "", dt.datetime(2024, 1, 2, 0, 30, 0)),
+        ("e", 0, "user", "x", "", dt.datetime(2024, 1, 2, 0, 40, 0)),
+        ("e", 1, "user", "x", "error:4xx", dt.datetime(2024, 1, 2, 0, 40, 1)),
+        # watermark pusher to finalize the above
+        ("wm2", 0, "user", "x", "", dt.datetime(2024, 1, 3, 0, 0)),
+        ("wm2", 1, "user", "x", "", dt.datetime(2024, 1, 3, 0, 0, 1)),
+    ]
+    _write_batch(spark, inp, cont)
+    run_stream_once(spark, inp, ckpt, out)
+    got2 = {
+        r.bucket_start.isoformat(): r
+        for r in spark.read.parquet(out).collect()
+    }
+    # turn-3 ts was 00:00:00.030 on Jan 1 → delta to Jan 2 00:30:00.000
+    expected_delta = (86400 + 1800) * 1000 - 30
+    b = got2["2024-01-02T00:30:00"]
+    assert (b.turn_count, b.lat_min_ms) == (1, expected_delta)
+    # error-rate flows through the streaming aggregate
+    e = got2["2024-01-02T00:40:00"]
+    assert e.turn_count == 1 and e.err4xx_rate == 1.0
+    # batch-1 results still present, not duplicated
+    assert got2["2024-01-01T00:00:00"].turn_count == 3
