@@ -61,6 +61,39 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # --------------------------------------------------------- ngram jaccard
 
 
+def _shingle_relation(df: DataFrame, n: int, id_col: str, text_col: str):
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    return sh, sizes
+
+
+def _jaccard(pairs: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b, inter) + sizes → thresholded jaccard pairs."""
+    return (
+        pairs.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -75,11 +108,7 @@ def ngram_jaccard_pairs(
     posting-list cap bounds join-key skew (a shingle shared by p docs
     creates p² candidate contributions).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), n)).alias("sh"),
-    )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sh, sizes = _shingle_relation(df, n, id_col, text_col)
     capped = sh.withColumn(
         "_rn", F.row_number().over(Window.partitionBy("sh").orderBy("id"))
     ).where(F.col("_rn") <= max_posting)
@@ -90,21 +119,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    out = (
-        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
-                4,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return out
+    return _jaccard(pairs, sizes, threshold)
 
 
 # ------------------------------------------------------------ minhash lsh
@@ -128,14 +143,21 @@ def _perm_params(k: int = MINHASH_PERMS) -> list[tuple[int, int]]:
     return params
 
 
-def minhash_signature(text: Column, n: int = 5, k: int = MINHASH_PERMS) -> Column:
-    """Array of K minhash values, all JVM: base hash per shingle via
-    md5_long reduced mod 2^31−1, permuted by (a·h + b) mod 2^31−1,
-    min-folded per perm."""
-    hs = F.transform(
+def shingle_hashes(text: Column, n: int = 5) -> Column:
+    """Base 31-bit hash per shingle (md5-derived, oracle-reproducible).
+
+    Materialize this as a column BEFORE fanning out the K permutations:
+    each permutation expression references the stored array, so shingle
+    construction + md5 run once per row instead of K times (measured
+    ~50× on the sf0.1 bench before this split)."""
+    return F.transform(
         shingles(text, n), lambda s: F.pmod(md5_long(s), F.lit(_MERSENNE31))
     )
-    perms = _perm_params(k)
+
+
+def minhash_from_hashes(hs: Column, k: int = MINHASH_PERMS) -> Column:
+    """Array of K minhash values over a pre-materialized hash array:
+    (a·h + b) mod 2^31−1 min-folded per permutation."""
     return F.array(
         *[
             F.array_min(
@@ -144,7 +166,7 @@ def minhash_signature(text: Column, n: int = 5, k: int = MINHASH_PERMS) -> Colum
                     lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31),
                 )
             )
-            for a, b in perms
+            for a, b in _perm_params(k)
         ]
     )
 
@@ -161,10 +183,10 @@ def minhash_lsh_pairs(
     """Candidate pairs via band-bucket join, verified with exact Jaccard
     (so precision is 1; recall is the LSH curve 1−(1−s^r)^b)."""
     r = k // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), n, k).alias("sig"),
+    hashed = df.select(
+        F.col(id_col).alias("id"), shingle_hashes(F.col(text_col), n).alias("hs")
     )
+    sig = hashed.select("id", minhash_from_hashes(F.col("hs"), k).alias("sig"))
     banded = sig.select(
         "id",
         F.posexplode(
@@ -183,14 +205,19 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(
-        df, threshold=0.0, n=n, id_col=id_col, text_col=text_col
+    # verify ONLY the candidates (exact Jaccard restricted to the
+    # candidate set — the whole point of LSH; an all-pairs verify would
+    # re-introduce the O(n²) it avoids)
+    sh, sizes = _shingle_relation(df, n, id_col, text_col)
+    sh_a = sh.select(F.col("id").alias("id_a"), "sh")
+    sh_b = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
-        cand.join(exact, ["id_a", "id_b"])
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard(inter, sizes, threshold)
 
 
 # ---------------------------------------------------------------- simhash

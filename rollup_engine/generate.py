@@ -38,6 +38,7 @@ def synthetic_transcripts(
     error_rate: float = 0.001,
     missing_rate: float = 0.01,
     damaged_rate: float = 0.001,
+    spread_minutes: int | None = None,
 ) -> DataFrame:
     """Build a transcript DataFrame.
 
@@ -72,11 +73,19 @@ def synthetic_transcripts(
         "delta_gen_ms", F.ceil(_u(h, 0.0, float(max_delta_ms))).cast("long")
     )
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # conv start stagger: unbounded (one new conv per minute, long thin
+    # buckets) or wrapped into a window of `spread_minutes` (many
+    # concurrent conversations per bucket — the realistic fleet shape)
+    stagger = (
+        F.pmod(F.col("conv_no"), F.lit(spread_minutes))
+        if spread_minutes
+        else F.col("conv_no")
+    )
     turns = turns.withColumn(
         "ts",
         F.timestamp_millis(
             F.unix_millis(F.to_timestamp(F.lit(BASE_TS)))
-            + F.col("conv_no") * F.lit(60_000)  # stagger conv starts
+            + stagger * F.lit(60_000)
             + F.sum("delta_gen_ms").over(w)
         ),
     )

@@ -157,6 +157,7 @@ def hist_rollup(
             error_flag(ERR4).cast("long").alias("_e4"),
             error_flag(ERR5).cast("long").alias("_e5"),
         )
+        .where(F.col("_v").isNotNull())  # COUNT(measure) null-skip semantics
         .groupBy("bucket_start", "_v")
         .agg(
             F.count(F.lit(1)).alias("_c"),

@@ -186,6 +186,35 @@ def q_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_textlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star text-length histogram rollup: per-hour distribution
+    of turn text lengths carried as mergeable state (reuses the
+    hist_rollup machinery with text-length as the measure)."""
+    from .hist_rollup import hist_rollup
+
+    t = from_events(spark, sf_dir).withColumn("text_len", F.length("text"))
+    out = hist_rollup(t, "hour", delta_col="text_len")
+    return out.select(
+        "bucket_start",
+        "turn_count",
+        F.col("lat_min_ms").alias("len_min"),
+        F.col("lat_max_ms").alias("len_max"),
+        F.col("lat_avg_ms").alias("len_avg"),
+        F.col("lat_p50_ms").alias("len_p50"),
+        F.col("lat_p90_ms").alias("len_p90"),
+        F.col("lat_p99_ms").alias("len_p99"),
+    )
+
+
+def q_tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-usage histogram per day bucket."""
+    t = from_events(spark, sf_dir)
+    return t.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket_start"),
+        F.col("tool"),
+    ).agg(F.count(F.lit(1)).alias("n_uses"))
+
+
 def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spine + LOCF over the minute tier; gap rows keep count=0 and
     null metrics (A6 × gap-fill contract)."""
@@ -239,6 +268,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "empty_bucket": q_empty_bucket,
     "percentile_exact": q_percentile_exact,
     "topk_convs": q_topk_convs,
+    "rollup_textlen": q_rollup_textlen,
+    "tool_usage": q_tool_usage,
     "gapfill_locf": q_gapfill_locf,
     "gapfill_interp": q_gapfill_interp,
     "rollup_sketch_minute": q_rollup_sketch_minute,
@@ -314,6 +345,21 @@ ORACLES: dict[str, str] = {
         GROUP BY conv_id
         ORDER BY n_turns DESC, conv_id ASC
         LIMIT 10""",
+    "rollup_textlen": f"""{_TRANSCRIPTS_CTE}
+        SELECT date_trunc('hour', ts) AS bucket_start,
+               COUNT(length(text)) AS turn_count,
+               MIN(length(text)) AS len_min,
+               MAX(length(text)) AS len_max,
+               CAST(FLOOR(AVG(length(text))) AS BIGINT) AS len_avg,
+               CAST(quantile_disc(length(text), 0.5) AS BIGINT) AS len_p50,
+               CAST(quantile_disc(length(text), 0.9) AS BIGINT) AS len_p90,
+               CAST(quantile_disc(length(text), 0.99) AS BIGINT) AS len_p99
+        FROM t WHERE length(text) IS NOT NULL
+        GROUP BY 1""",
+    "tool_usage": f"""{_TRANSCRIPTS_CTE}
+        SELECT date_trunc('day', ts) AS bucket_start, tool,
+               COUNT(*) AS n_uses
+        FROM t GROUP BY 1, 2""",
     "gapfill_locf": f"""{_DELTAS_CTE},
         r AS (
             SELECT date_trunc('minute', ts) AS bucket_start, {_METRICS_SQL}

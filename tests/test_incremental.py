@@ -131,8 +131,12 @@ def test_lineage_manifests(spark, data):
     assert ms[1]["parent_id"] == 1
     for m in ms:
         assert m["metrics"]["added_rows"] > 0
-        for f, st in m["lineage"].items():
-            assert st["rows"] > 0 and st["ts_min"] is not None
+        assert sum(st["rows"] for st in m["lineage"].values()) == m["metrics"][
+            "added_rows"
+        ]
+        for st in m["lineage"].values():
+            if st["rows"] > 0:  # empty output partitions are legitimate
+                assert st["ts_min"] is not None
     # incremental read returns exactly batch-2 rows
     inc = store.incremental(spark, 1, 2)
     assert inc.count() == ms[1]["metrics"]["added_rows"]

@@ -1,0 +1,84 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB
+must actually appear in the plan, not just in docstrings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rollup_engine.deltas import with_deltas
+from rollup_engine.rollup import rollup
+from rollup_engine.transcripts import from_events, load_events
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A ts predicate on the raw scan must appear in PushedFilters —
+    at scale this is partition pruning + row-group skipping."""
+    ev = load_events(spark, SF).where(F.col("ts") >= "2024-01-15")
+    plan = _plan(ev)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(ts" in plan
+
+
+def test_column_pruning_drops_text(spark):
+    """The minute rollup never touches the text payload (props) —
+    ReadSchema must exclude it (at 100 TB text dominates bytes)."""
+    r = rollup(with_deltas(from_events(spark, SF)), "minute")
+    plan = _plan(r)
+    read_schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema_lines
+    assert all("props" not in l for l in read_schema_lines)
+
+
+def test_partial_aggregation_present(spark):
+    """count/min/max/avg must run as partial (map-side) + final hash
+    aggregation — the distributed analog of the reference's streaming
+    accumulator."""
+    r = rollup(with_deltas(from_events(spark, SF)), "minute")
+    plan = _plan(r)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_single_exchange_for_clean_plus_deltas(spark):
+    """clean() and with_deltas() share one hash exchange on conv_id
+    (the dedupe window was deliberately re-keyed to make this true)."""
+    from rollup_engine.generate import synthetic_transcripts
+    from rollup_engine.transcripts import clean
+
+    t = synthetic_transcripts(spark, n_convs=10, turns_per_conv=5)
+    # count exchanges between the scan and the delta projection
+    d = with_deltas(clean(t.select("conv_id", "turn_idx", "role", "text", "tool", "ts")))
+    plan = _plan(d)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    # generator itself uses one window (cumsum) on conv_id; clean+lag
+    # must NOT add more than one further exchange on top
+    assert n_exchanges <= 2, plan
+
+
+def test_gapfill_spine_join_is_small_side(spark):
+    from rollup_engine.gapfill import gapfill
+
+    g = gapfill(rollup(with_deltas(from_events(spark, SF)), "minute"), "minute")
+    plan = _plan(g)
+    assert "Join" in plan  # spine left join exists
+
+
+def test_vectorized_scan_and_two_phase_agg(spark):
+    """Parquet scan must be the vectorized (Batched) reader, and the
+    percentile sketch aggregate must still split partial/final around
+    the exchange (ObjectHashAggregate pair)."""
+    r = rollup(with_deltas(from_events(spark, SF)), "minute")
+    plan = _plan(r)
+    assert "Batched: true" in plan
+    agg_nodes = plan.count("HashAggregate")
+    exchanges = plan.count("Exchange")
+    assert agg_nodes >= 2 and exchanges >= 2

@@ -1,0 +1,74 @@
+"""Serve layer: trailing-window results merged from the minute tier
+(reference's -t query without touching raw data) + Prometheus pull
+endpoint over HTTP."""
+
+from __future__ import annotations
+
+import datetime as dt
+import urllib.request
+
+import pytest
+
+from rollup_engine.deltas import with_deltas
+from rollup_engine.hist_rollup import hist_rollup
+from rollup_engine.serve import serve_prometheus, trailing_result
+
+from .conftest import make_transcript, ts_seq
+
+
+def _minute_tier(spark):
+    rows = []
+    for conv, base, deltas in (
+        ("a", "2024-01-01T00:00:00", [7, 10]),   # bucket :00
+        ("b", "2024-01-01T00:05:00", [100]),     # bucket :05
+        ("c", "2024-01-01T00:30:00", [1, 1000]), # bucket :30
+    ):
+        times = ts_seq(base, deltas)
+        rows += [
+            (conv, i, "user", "x", "error:4xx" if conv == "b" else "", t)
+            for i, t in enumerate(times)
+        ]
+    return hist_rollup(with_deltas(make_transcript(spark, rows)), "minute")
+
+
+def test_trailing_window_merges_buckets(spark):
+    tier = _minute_tier(spark)
+    # window [00:21, 00:31] → only conv c's bucket
+    r = trailing_result(tier, dt.datetime(2024, 1, 1, 0, 31), 10)
+    assert (r.count, r.min, r.max) == (2, 1, 1000)
+    # window covering everything
+    r = trailing_result(tier, dt.datetime(2024, 1, 1, 1, 0), 120)
+    assert r.count == 5
+    assert r.min == 1 and r.max == 1000
+    assert r.median == 10  # nearest-rank over [1,7,10,100,1000]
+    assert r.client_error_4xx == pytest.approx(0.2)
+
+
+def test_trailing_window_empty(spark):
+    tier = _minute_tier(spark)
+    r = trailing_result(tier, dt.datetime(2024, 2, 1), 5)
+    assert r.count == 0 and not r.has_timing
+
+
+def test_prometheus_endpoint(spark):
+    tier = _minute_tier(spark).cache()
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return trailing_result(tier, dt.datetime(2024, 1, 1, 1, 0), 120)
+
+    server = serve_prometheus(compute)
+    try:
+        port = server.server_address[1]
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=30
+        ).read().decode()
+        assert "request_count 5\n" in body
+        assert "request_time_median 10\n" in body
+        # scrape again — recompute per scrape (reference behavior), but
+        # against the tier, not raw data
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics", timeout=30).read()
+        assert len(calls) == 2
+    finally:
+        server.shutdown()
