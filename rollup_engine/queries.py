@@ -158,22 +158,32 @@ def q_rollup_sketch_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rollup_hour_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """minute→hour by sketch merge, verified against a DIRECT hour
-    rollup oracle: the cascade never re-reads raw data yet matches it."""
-    from .retention import cascade
-    from .sketch_rollup import sketch_rollup
+    """minute→hour by histogram-state merge (all-JVM path), verified
+    against a DIRECT hour rollup oracle: the cascade never re-reads raw
+    data yet matches it."""
+    from .hist_rollup import hist_cascade, hist_rollup
 
-    minute = sketch_rollup(_deltas(spark, sf_dir), "minute")
-    return cascade(minute, "hour").select(*_STD_COLS)
+    minute = hist_rollup(_deltas(spark, sf_dir), "minute")
+    return hist_cascade(minute, "hour").select(*_STD_COLS)
 
 
 def q_rollup_day_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """minute→hour→day double cascade vs direct day-rollup oracle."""
+    """minute→hour→day double cascade (Arrow sketch path this time —
+    the driver thereby verifies BOTH cascade engines) vs direct
+    day-rollup oracle."""
     from .retention import cascade
     from .sketch_rollup import sketch_rollup
 
     minute = sketch_rollup(_deltas(spark, sf_dir), "minute")
     return cascade(cascade(minute, "hour"), "day").select(*_STD_COLS)
+
+
+def q_rollup_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed breakdown: hour rollup per role (grouping-key extension the
+    reference lacks entirely — it has exactly one global group)."""
+    return rollup(_deltas(spark, sf_dir), "hour", extra_keys=["role"]).select(
+        "tier", "bucket_start", "role", *_STD_COLS[2:]
+    )
 
 
 def q_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,6 +286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_hour_cascade": q_rollup_hour_cascade,
     "rollup_day_cascade": q_rollup_day_cascade,
     "rollup_salted": q_rollup_salted,
+    "rollup_by_role": q_rollup_by_role,
 }
 
 from .queries_data import DATA_ORACLES, DATA_QUERIES  # noqa: E402
@@ -425,6 +436,12 @@ ORACLES: dict[str, str] = {
     "rollup_hour_cascade": _rollup_tier_sql("hour"),
     "rollup_day_cascade": _rollup_tier_sql("day"),
     "rollup_salted": _rollup_tier_sql("hour"),
+    "rollup_by_role": f"""{_DELTAS_CTE}
+    SELECT 'hour' AS tier, date_trunc('hour', ts) AS bucket_start, role,
+           {_METRICS_SQL}
+    FROM d WHERE delta_ms IS NOT NULL
+    GROUP BY 2, 3
+    """,
 }
 
 ORACLES.update(DATA_ORACLES)
