@@ -106,7 +106,6 @@ def ensure_bench_table(turns: int = BENCH_TURNS) -> str:
 
 def run_scaling_child(table: str, cpus: int) -> None:
     from rollup_engine.deltas import with_deltas
-    from rollup_engine.rollup import global_rollup, rollup  # noqa: F401
     from rollup_engine.session import get_spark
     from rollup_engine.transcripts import clean
 

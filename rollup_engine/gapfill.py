@@ -23,7 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .schema import TIERS
 
 _INTERVALS = {"minute": "1 minute", "hour": "1 hour", "day": "1 day"}
 _PER_DAY = {"minute": 1440, "hour": 24, "day": 1}

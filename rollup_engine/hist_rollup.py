@@ -29,7 +29,6 @@ of the histogram array; cascades merge those through sketches.merge.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd

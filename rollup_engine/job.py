@@ -23,7 +23,6 @@ from __future__ import annotations
 import argparse
 import sys
 
-from pyspark.sql import functions as F
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -35,7 +35,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 TS_FMT = "dd/MMM/yyyy:HH:mm:ss Z"
 

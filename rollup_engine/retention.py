@@ -19,7 +19,6 @@ reservoir (/root/reference/Cargo.toml:20-21).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
