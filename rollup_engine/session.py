@@ -29,7 +29,13 @@ def get_spark(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
-        master = f"local[{cpus}]"
+        # under spark-submit, --master arrives via system properties —
+        # never override a real cluster with local mode
+        from pyspark import SparkConf
+
+        master = (
+            None if SparkConf().contains("spark.master") else f"local[{cpus}]"
+        )
     if shuffle_partitions is None:
         # 4× the core count: balances stragglers/skew without tiny-task
         # overhead (measured 5× faster than partitions == cores on the
@@ -37,10 +43,11 @@ def get_spark(
         # straggle badly).
         shuffle_partitions = max(4 * cpus, 64)
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
