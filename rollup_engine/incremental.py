@@ -41,10 +41,17 @@ from .transcripts import clean
 class IncrementalRollup:
     """Maintains <work>/minute_v{S}/ + conv_state_v{S}/ + CHECKPOINT."""
 
-    def __init__(self, store: SnapshotStore, workdir: str, tier: str = "minute"):
+    def __init__(
+        self,
+        store: SnapshotStore,
+        workdir: str,
+        tier: str = "minute",
+        cascade_tiers: tuple[str, ...] = ("hour", "day"),
+    ):
         self.store = store
         self.workdir = workdir
         self.tier = tier
+        self.cascade_tiers = cascade_tiers
         os.makedirs(workdir, exist_ok=True)
 
     # ------------------------------------------------------------ state
@@ -58,19 +65,19 @@ class IncrementalRollup:
         with open(self._ckpt_path()) as f:
             return json.load(f)
 
-    def rollup_path(self, version: int) -> str:
-        return os.path.join(self.workdir, f"{self.tier}_v{version:08d}")
+    def rollup_path(self, version: int, tier: str | None = None) -> str:
+        return os.path.join(self.workdir, f"{tier or self.tier}_v{version:08d}")
 
     def state_path(self, version: int) -> str:
         return os.path.join(self.workdir, f"conv_state_v{version:08d}")
 
-    def read_rollup(self, spark: SparkSession) -> DataFrame:
+    def read_rollup(self, spark: SparkSession, tier: str | None = None) -> DataFrame:
         ck = self.checkpoint()
         if ck["version"] == 0:
             return spark.createDataFrame(
                 [], HIST_ROLLUP_SCHEMA.add("tier", "string")
             ).select("tier", *[f.name for f in HIST_ROLLUP_SCHEMA.fields])
-        return spark.read.parquet(self.rollup_path(ck["version"]))
+        return spark.read.parquet(self.rollup_path(ck["version"], tier))
 
     # -------------------------------------------------------------- run
 
@@ -159,6 +166,14 @@ class IncrementalRollup:
 
         # --- versioned writes, checkpoint pointer flipped last
         result.write.mode("overwrite").parquet(self.rollup_path(version))
+        # coarser tiers cascade from the refreshed base tier (reading
+        # the just-written files — tiny, never raw data)
+        base = spark.read.parquet(self.rollup_path(version))
+        prev_tier = base
+        for ct in self.cascade_tiers:
+            casc = hist_cascade(prev_tier, ct)
+            casc.write.mode("overwrite").parquet(self.rollup_path(version, ct))
+            prev_tier = spark.read.parquet(self.rollup_path(version, ct))
         new_state.write.mode("overwrite").parquet(self.state_path(version))
         new_ck = {
             "snapshot_id": current,
@@ -182,7 +197,12 @@ class IncrementalRollup:
             full = os.path.join(self.workdir, d)
             if not os.path.isdir(full):
                 continue
-            for prefix in (f"{self.tier}_v", "conv_state_v"):
+            prefixes = (
+                f"{self.tier}_v",
+                "conv_state_v",
+                *[f"{t}_v" for t in self.cascade_tiers],
+            )
+            for prefix in prefixes:
                 if d.startswith(prefix):
                     v = int(d[len(prefix) :])
                     if v < keep_version:

@@ -30,16 +30,38 @@ def trailing_result(
     minute_tier: DataFrame,
     now: dt.datetime | str,
     minutes: int,
+    raw_turns: DataFrame | None = None,
 ) -> RollupResult:
     """Merge the minute buckets inside [now − minutes, now] into one
-    reference-shaped result (count=0 + absent blocks when empty)."""
+    reference-shaped result (count=0 + absent blocks when empty).
+
+    With ``raw_turns`` given, the window edge is EXACT: the cutoff
+    bucket (where the window boundary cuts through a minute) is
+    re-rolled from raw turns restricted to [cutoff, bucket_end) — one
+    bucket of raw data, everything else still served from the tier.
+    """
     cutoff = F.lit(now).cast("timestamp") - F.expr(
         f"INTERVAL {int(minutes)} MINUTES"
     )
+    edge_bucket = F.date_trunc("minute", cutoff)
     in_window = minute_tier.where(
-        (F.col("bucket_start") >= F.date_trunc("minute", cutoff))
+        (F.col("bucket_start") >= edge_bucket)
         & (F.col("bucket_start") <= F.lit(now).cast("timestamp"))
     )
+    if raw_turns is not None:
+        from .deltas import with_deltas
+        from .hist_rollup import hist_rollup
+        from .transcripts import clean
+
+        # drop the (possibly partial) edge bucket from the tier merge…
+        in_window = in_window.where(F.col("bucket_start") > edge_bucket)
+        # …and rebuild exactly its in-window part from raw turns
+        edge_rows = with_deltas(clean(raw_turns)).where(
+            (F.col("ts") >= cutoff)
+            & (F.date_trunc("minute", F.col("ts")) == edge_bucket)
+        )
+        edge_rollup = hist_rollup(edge_rows, "minute")
+        in_window = in_window.unionByName(edge_rollup)
     # collapse every in-window bucket onto one key, then same-tier
     # cascade = merge-all (associative state merge)
     one_key = in_window.withColumn(

@@ -58,6 +58,12 @@ def test_incremental_equals_full_recompute(spark, data):
     pd.testing.assert_frame_equal(
         _pdf(job.read_rollup(spark)), _pdf(expected), check_dtype=False
     )
+    # cascaded tiers maintained per refresh match direct recompute
+    for tier in ("hour", "day"):
+        direct = hist_rollup(with_deltas(clean(full)), tier)
+        pd.testing.assert_frame_equal(
+            _pdf(job.read_rollup(spark, tier)), _pdf(direct), check_dtype=False
+        )
 
 
 def test_boundary_stitch_gives_cross_batch_deltas(spark, data):

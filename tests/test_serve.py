@@ -44,6 +44,29 @@ def test_trailing_window_merges_buckets(spark):
     assert r.client_error_4xx == pytest.approx(0.2)
 
 
+def test_trailing_window_exact_edge(spark):
+    """With raw turns supplied, the cutoff bucket is re-rolled exactly:
+    a window boundary falling INSIDE bucket :00 (at 00:00:05) must drop
+    conv a's deltas at :00.007/:00.017 but the bucket-granular merge
+    keeps them."""
+    rows = []
+    for conv, base, deltas in (
+        ("a", "2024-01-01T00:00:00", [7, 10]),    # ts ≤ 00:00:00.017
+        ("c", "2024-01-01T00:00:30", [1, 1000]),  # ts ≥ 00:00:30
+    ):
+        times = ts_seq(base, deltas)
+        rows += [(conv, i, "user", "x", "", t) for i, t in enumerate(times)]
+    raw = make_transcript(spark, rows)
+    tier = hist_rollup(with_deltas(raw), "minute")
+    now = dt.datetime(2024, 1, 1, 0, 5, 5)
+    window_min = 5  # cutoff = 00:00:05, inside bucket :00
+    approx = trailing_result(tier, now, window_min)
+    assert approx.count == 4  # bucket-granular keeps conv a
+    exact = trailing_result(tier, now, window_min, raw_turns=raw)
+    assert exact.count == 2  # conv a's deltas fall before the cutoff
+    assert (exact.min, exact.max) == (1, 1000)
+
+
 def test_trailing_window_empty(spark):
     tier = _minute_tier(spark)
     r = trailing_result(tier, dt.datetime(2024, 2, 1), 5)
