@@ -70,13 +70,12 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
     spark = get_spark(
         "rollup-bench", master=f"local[{cpus}]"
     )
-    # warm-up: JIT/codegen for the scan→window→agg pipeline so the
-    # first timed query isn't charged the JVM's compile time
-    _force(QUERIES["rollup_minute"](spark, sf_dir))
     times: dict[str, float] = {}
     for name in HEADLINE:
+        df = QUERIES[name](spark, sf_dir)
+        _force(df)  # untimed: JIT/codegen warm-up for this plan shape
         t0 = time.perf_counter()
-        _force(QUERIES[name](spark, sf_dir))
+        _force(df)
         times[name] = round(time.perf_counter() - t0, 3)
     return times
 
