@@ -19,8 +19,10 @@ state.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -78,9 +80,6 @@ def cosine_topk(
 
 
 def _pandas_cosine_udf(query_vec):
-    import pandas as pd
-    from pyspark.sql import types as T
-
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.sqrt((q * q).sum())
 
@@ -99,14 +98,53 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(nbits, dim))
 
 
-def rp_signature(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-bit signature: bit i set iff vec · plane_i > 0 (JVM)."""
+# Above this many expression nodes (nbits × dim literal multiply-adds)
+# whole-stage codegen degrades; switch to one Arrow matmul instead.
+_EXPR_SIG_MAX_TERMS = 4096
+
+
+def _expr_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit signature as pure Column expressions (small nbits×dim)."""
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         sig = sig + F.when(_dot(vec, _lit_vec(p)) > 0, F.lit(1 << i)).otherwise(
             F.lit(0)
         )
     return sig
+
+
+def _pandas_signature_udf(planes: np.ndarray):
+    """Arrow-batched signature: one (batch, d) @ (d, nbits) matmul per
+    batch — the scale path for d≥128 / nbits≥32 where the literal
+    expression tree would hit ~nbits×dim codegen nodes."""
+    planes_t = np.ascontiguousarray(planes.T, dtype=np.float64)  # (d, nbits)
+    weights = (1 << np.arange(planes_t.shape[1], dtype=np.int64)).astype(
+        np.int64
+    )
+
+    @F.pandas_udf(T.LongType())
+    def sig(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)  # (batch, d)
+        bits = (m @ planes_t) > 0.0  # (batch, nbits)
+        return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
+
+    return sig
+
+
+def rp_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit signature: bit i set iff vec · plane_i > 0.
+
+    Auto-selects JVM expressions (deterministic, codegen-friendly) for
+    small plane matrices and an Arrow matmul above _EXPR_SIG_MAX_TERMS —
+    both compute exactly the same bits (sign of a dot product is stable
+    across summation orders except exact-zero ties, which measure-zero
+    random hyperplanes don't produce on real data)."""
+    nbits, dim = planes.shape
+    if nbits >= 63:
+        raise ValueError("nbits must fit a signed 64-bit signature (< 63)")
+    if nbits * dim <= _EXPR_SIG_MAX_TERMS:
+        return _expr_signature(vec, planes)
+    return _pandas_signature_udf(planes)(vec)
 
 
 def rp_lsh_topk(
@@ -153,15 +191,27 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Embedding near-dup pairs: LSH-bucket equi-join (exact signature
     match) → exact cosine verify.  At high thresholds near-dups collide
-    on all bits with high probability; precision is exact."""
+    on all bits with high probability; precision is exact.
+
+    ``max_bucket`` bounds a degenerate signature bucket (e.g. zero or
+    constant vectors) to cap² candidates instead of p² — same df-cap
+    pattern as dedup._cap_postings."""
     dim = int(df.select(F.size(vec_col)).first()[0])
     planes = _hyperplanes(dim, nbits, seed)
     v = F.col(vec_col).cast("array<double>")
     signed = df.select(
         F.col(id_col).alias("id"), v.alias("_v"), rp_signature(v, planes).alias("sig")
+    )
+    signed = (
+        signed.withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("sig").orderBy("id"))
+        )
+        .where(F.col("_rn") <= max_bucket)
+        .drop("_rn")
     )
     return (
         signed.alias("a")

@@ -196,6 +196,21 @@ def minhash_from_hashes(hs: Column, k: int = MINHASH_PERMS) -> Column:
     )
 
 
+def _cap_postings(rel: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Bound a posting list to ``cap`` ids per join key (deterministic:
+    lowest ids survive).  A degenerate bucket — empty/boilerplate texts
+    all hashing to one band value — otherwise contributes p² candidate
+    rows in ONE join key: the classic dedup skew killer at scale.  The
+    row_number shuffle reuses the same hash partitioning the candidate
+    join needs, so the cap costs a sort, not an extra exchange."""
+    w = Window.partitionBy(*keys).orderBy("id")
+    return (
+        rel.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -204,9 +219,14 @@ def minhash_lsh_pairs(
     bands: int = LSH_BANDS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Candidate pairs via band-bucket join, verified with exact Jaccard
-    (so precision is 1; recall is the LSH curve 1−(1−s^r)^b)."""
+    (so precision is 1; recall is the LSH curve 1−(1−s^r)^b).
+
+    ``max_bucket`` caps each (band, bucket) posting list — beyond-cap
+    members of a degenerate bucket (mass-duplicated boilerplate) lose
+    LSH recall only for pairs exact-dedup already catches."""
     r = k // bands
     # Signature via explode + K plain min-aggregates: 64 nested
     # higher-order-function expressions drop out of whole-stage codegen
@@ -239,6 +259,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    banded = _cap_postings(banded, ["band", "bucket"], max_bucket)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
@@ -318,11 +339,14 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     band_bits: int = 15,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs at Hamming ≤ max_hamming.  Candidates via the
     pigeonhole trick: split the 60-bit signature into max_hamming+1
     bands — any pair within the radius shares at least one exact band —
-    then verify with bit_count(xor)."""
+    then verify with bit_count(xor).  ``max_bucket`` caps each
+    (band, key) posting list against degenerate-bucket skew (see
+    ``_cap_postings``)."""
     nbands = max_hamming + 1
     sig = simhash_relation(df, id_col, text_col)
     bandcols = [
@@ -337,6 +361,7 @@ def simhash_pairs(
     banded = sig.select("id", "sig", F.explode(F.array(*bandcols)).alias("bk")).select(
         "id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    banded = _cap_postings(banded, ["band", "key"], max_bucket)
     return (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "key"])

@@ -43,7 +43,7 @@ _METRICS_SQL = """
     CAST(quantile_disc(delta_ms, 0.5) AS BIGINT) AS lat_p50_ms,
     CAST(quantile_disc(delta_ms, 0.9) AS BIGINT) AS lat_p90_ms,
     CAST(quantile_disc(delta_ms, 0.99) AS BIGINT) AS lat_p99_ms,
-    SUM(delta_ms) AS lat_sum_ms,
+    CAST(SUM(delta_ms) AS BIGINT) AS lat_sum_ms,
     ROUND(AVG(CASE WHEN tool LIKE 'error:4%' THEN 1.0 ELSE 0.0 END), 4)
         AS err4xx_rate,
     ROUND(AVG(CASE WHEN tool LIKE 'error:5%' THEN 1.0 ELSE 0.0 END), 4)

@@ -199,8 +199,8 @@ DATA_ORACLES: dict[str, str] = {
     "token_stats": _FEATURES_CTE
     + """
     SELECT source, count(*) AS docs,
-           sum(ws_tokens) AS ws_tokens_total,
-           sum(bpe_tokens) AS bpe_tokens_total,
+           CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens_total,
+           CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens_total,
            round(avg(quality), 4) AS avg_quality
     FROM feats GROUP BY source""",
     "dedup_exact": r"""

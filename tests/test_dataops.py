@@ -186,3 +186,47 @@ def test_multimodal_stub_determinism(spark):
 def test_multimodal_real_decode_unimplemented():
     with pytest.raises(NotImplementedError):
         multimodal._decode_image(b"bytes", fake=False)
+
+
+# ------------------------------------------------------- skew / scale caps
+
+
+def test_minhash_bucket_cap_bounds_boilerplate_skew(spark):
+    """1k identical docs: every band maps them all to ONE bucket.
+    Uncapped that is 1k²/2 candidate pairs per band; with the cap each
+    (band,bucket) keeps ≤8 ids → ≤ C(8,2)=28 distinct pairs total."""
+    d = _docs(spark, [BASE] * 1000)
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.9, max_bucket=8).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    assert got == {(a, b) for a in range(8) for b in range(a + 1, 8)}
+    assert all(p.jaccard == 1.0 for p in pairs)
+
+
+def test_simhash_bucket_cap_bounds_boilerplate_skew(spark):
+    d = _docs(spark, [BASE] * 500)
+    pairs = dedup.simhash_pairs(d, max_hamming=3, max_bucket=6).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    assert got == {(a, b) for a in range(6) for b in range(a + 1, 6)}
+
+
+def test_cosine_pairs_bucket_cap(spark):
+    v = np.ones(16)
+    d = _emb_df(spark, [v] * 300)
+    pairs = ann.cosine_pairs(d, threshold=0.9, nbits=8, max_bucket=5).collect()
+    assert len(pairs) == 10  # C(5,2)
+
+
+def test_rp_signature_pandas_path_matches_expr(spark):
+    """Above _EXPR_SIG_MAX_TERMS rp_signature switches to the Arrow
+    matmul — both paths must produce identical sign bits."""
+    rng = np.random.RandomState(17)
+    vecs = [rng.normal(size=64) for _ in range(40)]
+    d = _emb_df(spark, vecs)
+    planes = ann._hyperplanes(64, 16, seed=42)
+    v = F.col("embedding").cast("array<double>")
+    both = d.select(
+        "vec_id",
+        ann._expr_signature(v, planes).alias("s_expr"),
+        ann._pandas_signature_udf(planes)(v).alias("s_pd"),
+    ).collect()
+    assert all(r.s_expr == r.s_pd for r in both)
