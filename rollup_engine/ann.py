@@ -184,6 +184,33 @@ def rp_lsh_topk(
     )
 
 
+def cosine_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold — the correctness baseline
+    for ``cosine_pairs`` (which buckets by LSH signature and therefore
+    trades recall below ~0.9 cosine).  O(n²) by construction: right for
+    gate-scale verification and for re-ranking candidate sets; at 100 TB
+    use ``cosine_pairs`` (bounded buckets) and reserve this for the
+    verify stage."""
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("id"), v.alias("_v"))
+    a = base.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"))
+    b = base.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -338,7 +338,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    band_bits: int = 15,
+    band_bits: int | None = None,
     max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs at Hamming ≤ max_hamming.  Candidates via the
@@ -346,8 +346,17 @@ def simhash_pairs(
     bands — any pair within the radius shares at least one exact band —
     then verify with bit_count(xor).  ``max_bucket`` caps each
     (band, key) posting list against degenerate-bucket skew (see
-    ``_cap_postings``)."""
+    ``_cap_postings``).
+
+    ``band_bits`` defaults to 60 // nbands so every band actually
+    covers signature bits (a fixed 15 with nbands > 4 would shift past
+    bit 60, giving key=0 for ALL docs in the overflow bands — an
+    accidental all-pairs join).  Bits beyond nbands*band_bits are
+    unbanded; recall still holds — ≤max_hamming differing bits touch
+    ≤max_hamming of the nbands disjoint bands, so one band matches."""
     nbands = max_hamming + 1
+    if band_bits is None:
+        band_bits = 60 // nbands
     sig = simhash_relation(df, id_col, text_col)
     bandcols = [
         F.struct(

@@ -67,9 +67,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check: 64-bit majority-vote
-    signatures are not practically expressible in ANSI SQL)."""
-    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=6)
+    """SimHash near-dup pairs.  Oracled: the md5-derived 60-bit
+    majority-vote signature, pigeonhole banding, and bit_count(xor)
+    verify are all reproducible in DuckDB SQL (see _simhash_oracle)."""
+    out = dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=6)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,16 +81,29 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH with multiprobe (rows-only check; recall
-    vs brute force pinned in tests/test_dataops.py)."""
+    """Random-hyperplane LSH with multiprobe.  Oracled: the DuckDB SQL
+    embeds the same seeded hyperplanes as array literals and reproduces
+    signature → Hamming-radius probe → exact re-rank (recall vs brute
+    force additionally pinned in tests/test_dataops.py)."""
     e = _embs(spark, sf_dir)
     qv = [float(x) for x in e.where("vec_id = 0").first()["embedding"]]
     return ann.rp_lsh_topk(e, qv, k=10, nbits=12, hamming_radius=4)
 
 
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH buckets (rows-only)."""
+    """Embedding-cosine near-dup pairs via LSH buckets.  Oracle is the
+    EXACT all-pairs cosine at the same threshold — falsifiable in the
+    precision direction, and at ≥0.9 the signature-collision recall is
+    ~1 so the sets agree (sf0.01 ground truth: 0 pairs; the non-vacuous
+    exact gate is embedding_pairs_exact)."""
     return ann.cosine_pairs(_embs(spark, sf_dir), threshold=0.9, nbits=8)
+
+
+def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine at 0.4 — 59 pairs at sf0.01, so this gate
+    actually exercises the pair kernel (threshold chosen below the LSH
+    regime on purpose; see cosine_pairs_exact docstring)."""
+    return ann.cosine_pairs_exact(_embs(spark, sf_dir), threshold=0.4)
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,6 +122,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "embedding_pairs": q_embedding_pairs,
+    "embedding_pairs_exact": q_embedding_pairs_exact,
     "multimodal_meta": q_multimodal_meta,
 }
 
@@ -190,6 +206,91 @@ jac AS (
     JOIN sizes sb ON sb.doc_id = pairs.id_b
 )"""
 
+# --------------------------------------------- generated oracle SQL
+# These oracles reproduce the Spark operators' *algorithms* in DuckDB —
+# legitimate because every primitive (md5-derived hashes, seeded
+# hyperplanes, bit ops) was chosen to be engine-independent.
+
+
+def _simhash_oracle_sql(max_hamming: int = 6) -> str:
+    nbands = max_hamming + 1
+    band_bits = 60 // nbands
+    mask = (1 << band_bits) - 1
+    bit_sums = ",\n           ".join(
+        f"sum((h >> {i}) & 1) AS b{i}" for i in range(60)
+    )
+    sig_expr = "\n         + ".join(
+        f"(CASE WHEN b{i} * 2 >= n THEN {1 << i} ELSE 0 END)"
+        for i in range(60)
+    )
+    bands = "\n      UNION ALL ".join(
+        f"SELECT id, sig, {i} AS band, (sig >> {i * band_bits}) & {mask} AS key FROM sigs"
+        for i in range(nbands)
+    )
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                   ' ')) AS w
+        FROM documents
+    ),
+    hs AS (SELECT id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM toks),
+    agg AS (
+        SELECT id, count(*) AS n,
+           {bit_sums}
+        FROM hs GROUP BY id
+    ),
+    sigs AS (SELECT id, CAST({sig_expr} AS BIGINT) AS sig FROM agg),
+    banded AS ({bands})
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b USING (band, key)
+    WHERE a.id < b.id AND bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+_COSINE_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
+
+
+def _ann_lsh_oracle_sql(nbits: int = 12, hamming_radius: int = 4, k: int = 10) -> str:
+    import numpy as np
+
+    planes = ann._hyperplanes(64, nbits, seed=42)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        dot = f"list_sum(list_transform(list_zip(ve, {lit}), x -> x[1] * x[2]))"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    sig_expr = "\n         + ".join(terms)
+    cos = _COSINE_SQL.format(a="ve", b="qv")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    sigs AS (SELECT vec_id, ve, CAST({sig_expr} AS BIGINT) AS sig FROM v),
+    q AS (SELECT ve AS qv, sig AS qsig FROM sigs WHERE vec_id = 0),
+    probed AS (
+        SELECT s.vec_id, s.ve, q.qv FROM sigs s, q
+        WHERE bit_count(xor(s.sig, q.qsig)) <= {hamming_radius}
+    )
+    SELECT vec_id, round({cos}, 6) AS score
+    FROM probed ORDER BY score DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _pairs_exact_oracle_sql(threshold: float) -> str:
+    cos = _COSINE_SQL.format(a="a.ve", b="b.ve")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round({cos}, 6) >= {threshold}
+    """
+
+
 DATA_ORACLES: dict[str, str] = {
     "text_features": _FEATURES_CTE
     + """
@@ -236,7 +337,11 @@ DATA_ORACLES: dict[str, str] = {
            64 + ('0x' || substr(sha256(text), 1, 2))::INT AS width,
            64 + ('0x' || substr(sha256(text), 3, 2))::INT AS height
     FROM documents""",
-    # dedup_simhash / ann_lsh / embedding_pairs: rows-only by design
-    # (bit-level signatures and seeded hyperplanes aren't ANSI SQL);
-    # their semantics are pinned in tests/test_dataops.py instead.
+    "dedup_simhash": _simhash_oracle_sql(max_hamming=6),
+    "ann_lsh": _ann_lsh_oracle_sql(nbits=12, hamming_radius=4, k=10),
+    # embedding_pairs: exact all-pairs oracle — at threshold 0.9 the
+    # LSH signature-collision recall is ~1, so the sets agree (and at
+    # sf0.01 ground truth is 0 pairs, making the gate precision-only).
+    "embedding_pairs": _pairs_exact_oracle_sql(0.9),
+    "embedding_pairs_exact": _pairs_exact_oracle_sql(0.4),
 }
