@@ -64,9 +64,12 @@ def conditions(
     exclude: list[str] | None = None,
     now: datetime | str | None = None,
     latest_minutes: int | None = None,
+    term_cols=TERM_COLUMNS,
 ) -> Column:
-    """Conjunction F1 ∧ F2 ∧ F3 (/root/reference/src/filter/mod.rs:42)."""
-    preds = [include_terms(include), exclude_terms(exclude)]
+    """Conjunction F1 ∧ F2 ∧ F3 (/root/reference/src/filter/mod.rs:42).
+    ``term_cols`` selects which columns terms match against (compat mode
+    passes log_source.COMPAT_TERM_COLUMNS = request + response lines)."""
+    preds = [include_terms(include, term_cols), exclude_terms(exclude, term_cols)]
     if latest_minutes is not None:
         if now is None:
             raise ValueError("latest_minutes requires an explicit `now`")

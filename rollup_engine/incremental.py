@@ -96,6 +96,26 @@ class IncrementalRollup:
         # --- boundary stitch: prepend each conv's last known turn
         if ck["version"] > 0:
             state = spark.read.parquet(self.state_path(ck["version"]))
+            # At-least-once delivery guard: a snapshot may re-deliver
+            # turns already folded into the rollup.  Keep only turns
+            # STRICTLY beyond the checkpointed (conv_id, turn_idx) —
+            # re-delivered turns would double-count buckets, and a
+            # re-delivered turn_idx equal to the state row would tie in
+            # the lag window (nondeterministic boundary delta).
+            new_turns = (
+                new_turns.join(
+                    state.select(
+                        "conv_id", F.col("turn_idx").alias("_state_idx")
+                    ),
+                    "conv_id",
+                    "left",
+                )
+                .where(
+                    F.col("_state_idx").isNull()
+                    | (F.col("turn_idx") > F.col("_state_idx"))
+                )
+                .drop("_state_idx")
+            )
             boundary = state.select(
                 "conv_id",
                 F.col("turn_idx"),
@@ -111,7 +131,12 @@ class IncrementalRollup:
         else:
             unioned = new_turns.withColumn("_state", F.lit(False))
 
-        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        # _state desc ⇒ at any residual turn_idx tie the state row sorts
+        # first and feeds the lag deterministically (belt-and-braces: the
+        # anti-join above already removes equal-turn_idx re-deliveries)
+        w = Window.partitionBy("conv_id").orderBy(
+            F.col("turn_idx").asc(), F.col("_state").desc()
+        )
         deltas = (
             unioned.withColumn(
                 DELTA_COL,

@@ -43,6 +43,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--graphite-prefix")
     p.add_argument("--influxdb-write-url")
     p.add_argument("--influxdb-tags")
+    p.add_argument(
+        "--prometheus-listen",
+        metavar="HOST:PORT",
+        help="serve a Prometheus pull endpoint instead of one-shot output "
+        "(reference entry point 2, /root/reference/src/main.rs:30-32; "
+        "each scrape recomputes over the logs with scrape-time 'now')",
+    )
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("--cpus", type=int, default=None)
     return p
@@ -61,30 +68,54 @@ def _fan_out(result, args, epoch_seconds: int) -> None:
         print("\n".join(terminal_lines(result)))
 
 
-def run_compat(spark, args) -> None:
-    """Reference-equivalent run over request.log files."""
+def run_compat(spark, args):
+    """Reference-equivalent run over request.log files.  Returns the
+    HTTP server when --prometheus-listen is given, else None."""
     import datetime as dt
 
     from . import filters as flt
-    from .log_source import pairs_as_transcript, read_pairs
+    from .log_source import COMPAT_TERM_COLUMNS, pairs_as_transcript, read_pairs
     from .render import RollupResult
     from .rollup import global_rollup
 
-    t = pairs_as_transcript(read_pairs(spark, args.logs))
-    now = args.now or dt.datetime.now(dt.timezone.utc)
-    if args.include_terms or args.exclude_terms or args.time_filter_minutes:
-        t = t.where(
-            flt.conditions(
-                include=args.include_terms,
-                exclude=args.exclude_terms,
-                now=now if args.time_filter_minutes else None,
-                latest_minutes=args.time_filter_minutes,
+    base = pairs_as_transcript(read_pairs(spark, args.logs))
+    if args.prometheus_listen:
+        # pairing is now-independent: parse/pair once, cache, re-filter
+        # + re-aggregate per scrape (the reference re-runs the whole
+        # pipeline per scrape — http_handler/mod.rs:16-29)
+        base = base.persist()
+
+    def compute(now) -> RollupResult:
+        t = base
+        if args.include_terms or args.exclude_terms or args.time_filter_minutes:
+            t = t.where(
+                flt.conditions(
+                    include=args.include_terms,
+                    exclude=args.exclude_terms,
+                    now=now if args.time_filter_minutes else None,
+                    latest_minutes=args.time_filter_minutes,
+                    term_cols=COMPAT_TERM_COLUMNS,
+                )
             )
+        row = global_rollup(t).collect()[0].asDict()
+        result = RollupResult.from_row(row)
+        return RollupResult(count=0) if result.count == 0 else result
+
+    if args.prometheus_listen:
+        from .serve import serve_prometheus
+
+        host, _, port = args.prometheus_listen.rpartition(":")
+        server = serve_prometheus(
+            lambda: compute(args.now or dt.datetime.now(dt.timezone.utc)),
+            address=host or "0.0.0.0",
+            port=int(port),
         )
-    row = global_rollup(t).collect()[0].asDict()
-    result = RollupResult.from_row(row)
-    if result.count == 0:
-        result = RollupResult(count=0)
+        if not args.quiet:
+            print(f"prometheus endpoint on {server.server_address}")
+        return server  # caller decides to block (main) or scrape (tests)
+
+    now = args.now or dt.datetime.now(dt.timezone.utc)
+    result = compute(now)
     epoch = int(
         now.timestamp()
         if hasattr(now, "timestamp")
@@ -131,7 +162,11 @@ def main(argv: list[str] | None = None) -> None:
     master = f"local[{args.cpus}]" if args.cpus else None
     spark = get_spark("rollup_engine_job", master=master)
     if args.logs:
-        run_compat(spark, args)
+        server = run_compat(spark, args)
+        if server is not None:
+            import threading
+
+            threading.Event().wait()  # serve until killed
     elif args.transcripts or (args.snapshot_store and args.workdir):
         run_engine(spark, args)
     else:

@@ -69,7 +69,13 @@ def parse_events(lines: DataFrame) -> DataFrame:
         F.concat_ws(" ", parts.getItem(0), parts.getItem(1)), TS_FMT
     )
     last_tok = F.element_at(parts, -1)
-    resp_ms = F.regexp_extract(last_tok, r"^(\d+)ms$", 1)
+    # Reference rule (log_events.rs:91-103): strip the LAST TWO chars of
+    # the last token and parse what remains as a signed i64 — so "123ms"
+    # → 123, "-5ms" → -5, and any ≥3-char token whose prefix is an
+    # integer parses (the suffix is never checked).  Stricter ^\d+ms$
+    # silently dropped lines the reference counts.
+    ms_body = last_tok.substr(F.lit(1), F.length(last_tok) - F.lit(2))
+    resp_ms = F.when(ms_body.rlike(r"^[+-]?\d+$"), ms_body)
     status_first = F.substring(parts.getItem(4), 1, 1)
     ev = lines.select(
         "line_no",
@@ -79,9 +85,7 @@ def parse_events(lines: DataFrame) -> DataFrame:
         .alias("side"),
         F.when(raw_id != "", raw_id.cast("int")).alias("id"),
         F.when(is_req, ts).alias("time"),
-        F.when(is_resp & (resp_ms != ""), resp_ms.cast("long")).alias(
-            "response_time_ms"
-        ),
+        F.when(is_resp, resp_ms.cast("long")).alias("response_time_ms"),
         F.when(
             is_resp & status_first.isin("4", "5"),
             F.concat(status_first, F.lit("xx")),
@@ -120,12 +124,18 @@ def pair_events(events: DataFrame) -> DataFrame:
 def pairs_as_transcript(pairs: DataFrame) -> DataFrame:
     """Pairs → the engine's canonical delta stream: each pair becomes a
     'turn' whose delta_ms is the response time, so every rollup / sink /
-    filter in the engine applies to request.log data unchanged."""
+    filter in the engine applies to request.log data unchanged.
+
+    ``response_text`` carries the response's original log line so term
+    filters can match EITHER line of the pair, as the reference does
+    (/root/reference/src/filter/mod.rs:12-30) — compat callers pass
+    ``COMPAT_TERM_COLUMNS`` to the filter builders."""
     return pairs.select(
         F.col("id").cast("string").alias("conv_id"),
         F.lit(0).alias("turn_idx"),
         F.lit("request").alias("role"),
         F.col("request_line").alias("text"),
+        F.col("response_line").alias("response_text"),
         F.coalesce(
             F.when(F.col("http_error").isNotNull(),
                    F.concat(F.lit("error:"), F.col("http_error"))),
@@ -134,6 +144,11 @@ def pairs_as_transcript(pairs: DataFrame) -> DataFrame:
         F.col("time").alias("ts"),
         F.col("response_time_ms").alias("delta_ms"),
     )
+
+
+# Term-searchable columns in compat mode: request line + response line,
+# matching the reference's either-raw-line semantics.
+COMPAT_TERM_COLUMNS = ("text", "response_text")
 
 
 def read_pairs(spark: SparkSession, paths: list[str]) -> DataFrame:

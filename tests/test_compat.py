@@ -192,6 +192,59 @@ def test_prometheus_format():
 # ------------------------------------------------------------------ CLI
 
 
+def test_term_filter_matches_response_line(spark, logs, capsys):
+    """Terms must match EITHER raw line of the pair (filter/mod.rs:12-30):
+    '500' and 'text/html' appear only in response lines."""
+    from rollup_engine.job import main
+
+    main(["--logs", logs["s1"], logs["s2"], "--include", "500"])
+    out = capsys.readouterr().out
+    assert "count:\t1" in out and "time.max:\t800" in out
+    main(["--logs", logs["s1"], logs["s2"], "--exclude", "text/html"])
+    assert "count:\t0" in capsys.readouterr().out
+
+
+RELAXED = """\
+08/Apr/2024:09:57:47 +0200 [1] -> GET /a.html HTTP/1.1
+08/Apr/2024:09:57:47 +0200 [1] <- 200 text/html -5ms
+08/Apr/2024:09:58:00 +0200 [2] -> GET /b.html HTTP/1.1
+08/Apr/2024:09:58:00 +0200 [2] <- 200 text/html 12xy
+08/Apr/2024:09:59:00 +0200 [3] -> GET /c.html HTTP/1.1
+08/Apr/2024:09:59:00 +0200 [3] <- 200 text/html ms
+"""
+
+
+def test_response_parse_reference_rule(spark, tmp_path):
+    """log_events.rs:91-103: strip the last TWO chars of the last token,
+    parse signed i64 — negatives and non-'ms' suffixes count; a 2-char
+    token parses to '' and the line drops."""
+    p = tmp_path / "relaxed.log"
+    p.write_text(RELAXED)
+    r = _result(spark, [str(p)])
+    assert (r.turn_count, r.lat_min_ms, r.lat_max_ms) == (2, -5, 12)
+
+
+def test_cli_prometheus_listen(spark, logs):
+    """--prometheus-listen serves the reference's exposition format and
+    recomputes per scrape (entry point 2, main.rs:30-32)."""
+    from urllib.request import urlopen
+
+    from rollup_engine.job import build_parser, run_compat
+
+    args = build_parser().parse_args(
+        ["--logs", logs["s1"], logs["s2"], "--prometheus-listen",
+         "127.0.0.1:0", "-q"]
+    )
+    server = run_compat(spark, args)
+    try:
+        port = server.server_address[1]
+        body = urlopen(f"http://127.0.0.1:{port}/metrics").read().decode()
+        assert "request_count 4" in body
+        assert "request_time_max 800" in body
+    finally:
+        server.shutdown()
+
+
 def test_cli_compat_end_to_end(spark, logs, capsys):
     from rollup_engine.job import main
 

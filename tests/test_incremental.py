@@ -82,6 +82,28 @@ def test_boundary_stitch_gives_cross_batch_deltas(spark, data):
     assert total == expected_pairs  # no deltas lost at the batch seam
 
 
+def test_redelivered_turns_do_not_double_count(spark, data):
+    """At-least-once seam: a later snapshot re-delivering batch-1 turns
+    (plus the exact state-row turn_idx) must produce the same rollup as
+    exactly-once delivery — re-delivered turns are anti-joined away
+    against the checkpointed conv state."""
+    import pandas as pd
+
+    full, b1, b2, store, work = data
+    job = IncrementalRollup(store, work)
+    store.append(b1)
+    job.refresh(spark)
+    # snapshot 2 = batch 2 PLUS a re-delivery of the tail of batch 1
+    # (including turn_idx 19 == the stored conv-state row, the tie case)
+    store.append(b2.unionByName(b1.where("turn_idx >= 15")))
+    job.refresh(spark)
+
+    expected = hist_rollup(with_deltas(clean(full)), "minute")
+    pd.testing.assert_frame_equal(
+        _pdf(job.read_rollup(spark)), _pdf(expected), check_dtype=False
+    )
+
+
 def test_noop_refresh(spark, data):
     _, b1, _, store, work = data
     job = IncrementalRollup(store, work)
