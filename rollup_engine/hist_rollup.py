@@ -86,17 +86,40 @@ def _percentile_aggs() -> list[Column]:
 
 
 def _finalize_from_hist_rows(h: DataFrame, max_bins: int) -> DataFrame:
-    """(bucket_start, _v, _c, _e4, _e5) → one finished row per bucket."""
+    """(bucket_start, _v, _c, _e4, _e5) → one finished row per bucket.
+
+    Buckets are split by distinct-value count BEFORE any per-bucket
+    ordered computation, so no stage is ever proportional to a hot
+    bucket's value domain:
+    - ≤ max_bins (the overwhelmingly common case): exact nearest-rank
+      percentiles via a bounded cumsum window + the histogram array.
+    - > max_bins: reference-parity approximate percentiles (the
+      reference itself is exact ≤10k samples / approximate above,
+      /root/reference/Cargo.toml:20-21) from t-digest state built
+      distributed — partial digests per (bucket, salt), ≤ _OVERFLOW_SALTS
+      merged per bucket.
+    The compressed relation ``h`` is consumed by three subplans that
+    share one exchange (ReusedExchange); the overflow key list is tiny
+    by construction and broadcast.
+    """
+    sizes = h.groupBy("bucket_start").agg(F.count(F.lit(1)).alias("_nd"))
+    of_keys = sizes.where(F.col("_nd") > max_bins).select("bucket_start")
+    normal = h.join(F.broadcast(of_keys), "bucket_start", "left_anti")
+    overflow = h.join(F.broadcast(of_keys), "bucket_start")
+    return _finalize_exact(normal).unionByName(_finalize_overflow(overflow))
+
+
+def _finalize_exact(h: DataFrame) -> DataFrame:
+    """Exact finalize for buckets whose distinct-value count is bounded
+    by max_bins: the cumsum window task is ≤ max_bins rows per bucket."""
     w_cum = (
         Window.partitionBy("bucket_start")
         .orderBy("_v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy("bucket_start")
-    h2 = (
-        h.withColumn("_cum", F.sum("_c").over(w_cum))
-        .withColumn("_n", F.sum("_c").over(w_all))
-        .withColumn("_nd", F.count(F.lit(1)).over(w_all))
+    h2 = h.withColumn("_cum", F.sum("_c").over(w_cum)).withColumn(
+        "_n", F.sum("_c").over(w_all)
     )
     pairs = F.sort_array(
         F.collect_list(F.struct(F.col("_v").alias("v"), F.col("_c").alias("c")))
@@ -109,11 +132,7 @@ def _finalize_from_hist_rows(h: DataFrame, max_bins: int) -> DataFrame:
         *_percentile_aggs(),
         F.sum("_e4").alias("err4xx_cnt"),
         F.sum("_e5").alias("err5xx_cnt"),
-        F.when(F.max("_nd") <= max_bins, pairs).alias("hist"),
-        # overflow buckets (rare by construction) collect here instead;
-        # null for everyone else, so the pandas UDF below sees almost
-        # exclusively nulls — no Arrow traffic on the common path
-        F.when(F.max("_nd") > max_bins, pairs).alias("_of_pairs"),
+        pairs.alias("hist"),
     )
     agg = agg.withColumns(
         {
@@ -122,22 +141,87 @@ def _finalize_from_hist_rows(h: DataFrame, max_bins: int) -> DataFrame:
             ),
             "err4xx_rate": F.round(F.col("err4xx_cnt") / F.col("turn_count"), 4),
             "err5xx_rate": F.round(F.col("err5xx_cnt") / F.col("turn_count"), 4),
-            "tdigest": _hist_pairs_to_tdigest_udf(F.col("_of_pairs")),
+            "tdigest": F.lit(None).cast("binary"),
         }
     )
     return agg.select(*[f.name for f in HIST_ROLLUP_FIELDS])
 
 
+# Salt shards per overflow bucket: bounds every digest-build task to
+# ~1/64 of a hot bucket's value domain while keeping the per-bucket
+# merge fan-in trivially small.
+_OVERFLOW_SALTS = 64
+
+
+def _finalize_overflow(of: DataFrame) -> DataFrame:
+    """Distributed digest finalize for >max_bins buckets.  Scalar
+    metrics (count/min/max/sum/avg/error rates) stay EXACT via plain
+    codegen aggregates (no order needed); only p50/p90/p99 come from the
+    merged t-digest."""
+    scalars = of.groupBy("bucket_start").agg(
+        F.sum("_c").alias("turn_count"),
+        F.min("_v").alias("lat_min_ms"),
+        F.max("_v").alias("lat_max_ms"),
+        F.sum(F.col("_v") * F.col("_c")).alias("lat_sum_ms"),
+        F.sum("_e4").alias("err4xx_cnt"),
+        F.sum("_e5").alias("err5xx_cnt"),
+    )
+    salted = of.withColumn(
+        "_salt", F.pmod(F.hash("_v"), F.lit(_OVERFLOW_SALTS))
+    )
+    partials = salted.groupBy("bucket_start", "_salt").applyInPandas(
+        _partial_td, "bucket_start timestamp, td binary"
+    )
+    digests = partials.groupBy("bucket_start").agg(
+        _merge_td_udf(F.collect_list("td")).alias("tdigest")
+    )
+    qcols = _td_quantiles_udf(F.col("tdigest"))
+    out = scalars.join(digests, "bucket_start").withColumns(
+        {
+            "lat_avg_ms": F.floor(F.col("lat_sum_ms") / F.col("turn_count")).cast(
+                "long"
+            ),
+            "err4xx_rate": F.round(F.col("err4xx_cnt") / F.col("turn_count"), 4),
+            "err5xx_rate": F.round(F.col("err5xx_cnt") / F.col("turn_count"), 4),
+            "hist": F.lit(None).cast(HIST_TYPE),
+            "_qs": qcols,
+        }
+    )
+    for i, name in enumerate(_QS):
+        out = out.withColumn(name, F.col("_qs").getItem(i))
+    return out.select(*[f.name for f in HIST_ROLLUP_FIELDS])
+
+
+def _partial_td(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "bucket_start": [pdf["bucket_start"].iloc[0]],
+            "td": [
+                sketches._td_from(
+                    pdf["_v"].to_numpy(dtype=np.float64),
+                    pdf["_c"].to_numpy(dtype=np.float64),
+                )
+            ],
+        }
+    )
+
+
 @F.pandas_udf(T.BinaryType())
-def _hist_pairs_to_tdigest_udf(pairs: pd.Series) -> pd.Series:
+def _merge_td_udf(blob_lists: pd.Series) -> pd.Series:
+    return pd.Series(
+        [sketches.merge(list(blobs)) for blobs in blob_lists]
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _td_quantiles_udf(blobs: pd.Series) -> pd.Series:
     out = []
-    for p in pairs:
-        if p is None or len(p) == 0:
+    for b in blobs:
+        if b is None:
             out.append(None)
             continue
-        means = np.array([e["v"] for e in p], dtype=np.float64)
-        weights = np.array([e["c"] for e in p], dtype=np.float64)
-        out.append(sketches._td_from(means, weights))
+        qs = sketches.quantiles(b, list(_QS.values()))
+        out.append([None if q is None else int(np.floor(q)) for q in qs])
     return pd.Series(out)
 
 
