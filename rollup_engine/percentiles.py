@@ -62,9 +62,15 @@ def exact_nearest_rank(
 
     Latency values are integer milliseconds, so the distinct domain is
     bounded (≪ row count) — the cumsum window over distinct values stays
-    cheap even where a row-level sort would be a 100 TB shuffle.  This is
-    the exact/audit tier; the cascading rollup path uses mergeable
-    sketches (sketches.py).
+    cheap even where a row-level sort would be a 100 TB shuffle.
+
+    BOUND (explicit): the per-group window task is O(group's distinct
+    values).  With keys=[] that is ONE task over the global distinct
+    domain — fine for ms-valued latencies (≤ ~10⁷ distinct covers deltas
+    up to ~3 hours; a single 10⁷-row sort task is ~1 s), NOT fine for
+    unbounded float measures.  For those, use hist_rollup (splits
+    overflow buckets onto distributed t-digests) or approx_nearest_rank;
+    this function is the exact/audit tier by contract.
     """
     keys = keys or []
     c = F.col(value_col)

