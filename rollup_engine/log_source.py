@@ -151,5 +151,31 @@ def pairs_as_transcript(pairs: DataFrame) -> DataFrame:
 COMPAT_TERM_COLUMNS = ("text", "response_text")
 
 
+def read_stdin_lines(spark: SparkSession) -> DataFrame:
+    """S3: stdin source (/root/reference/src/main.rs:81-90 falls back to
+    reading stdin when no file is given).  Stdin is inherently
+    driver-local — the bytes exist only on the submitting machine — so
+    the driver drains it and parallelizes the lines to the executors;
+    every downstream operator (parse/pair/rollup) then runs
+    distributed.  For anything larger than a pipe buffer, stage to
+    files/object storage instead (documented divergence, PARITY.md)."""
+    import sys
+
+    lines = [
+        (0, i, line.rstrip("\n"))
+        for i, line in enumerate(sys.stdin)
+    ]
+    df = spark.createDataFrame(
+        lines, "file_no int, line_in_file long, line string"
+    )
+    return df.withColumn(
+        "line_no",
+        F.col("file_no").cast("long") * F.lit(1 << 40) + F.col("line_in_file"),
+    )
+
+
 def read_pairs(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """paths == ['-'] reads stdin, mirroring the reference CLI."""
+    if paths == ["-"]:
+        return pair_events(parse_events(read_stdin_lines(spark)))
     return pair_events(parse_events(read_lines(spark, paths)))

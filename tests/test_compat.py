@@ -245,6 +245,16 @@ def test_cli_prometheus_listen(spark, logs):
         server.shutdown()
 
 
+def test_stdin_source(spark, monkeypatch):
+    """S3: '--logs -' reads request.log lines from stdin
+    (/root/reference/src/main.rs:81-90)."""
+    import io
+
+    monkeypatch.setattr("sys.stdin", io.StringIO(SIMPLE_1))
+    r = _result(spark, ["-"])
+    assert (r.turn_count, r.lat_min_ms, r.lat_max_ms) == (2, 7, 10)
+
+
 def test_cli_compat_end_to_end(spark, logs, capsys):
     from rollup_engine.job import main
 
