@@ -47,8 +47,11 @@ HEADLINE = [
 # and any efficiency number would be noise.  Per the north rule the
 # input is synthesized deterministically at a scale where compute
 # dominates (seeded generator, no external data), cached under
-# .benchdata/ (gitignored).
-BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "12000000"))
+# .benchdata/ (gitignored).  24M turns: at 12M the measured ~2.4 s of
+# fixed driver/stage overhead per run still ate ~7 points of raw
+# efficiency at local[4]; doubling the input halves that bias while
+# keeping the local[1] leg under a minute.
+BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "24000000"))
 
 
 def _force(df) -> int:

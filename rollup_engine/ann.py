@@ -184,6 +184,76 @@ def rp_lsh_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path
+    besides random-hyperplane LSH.
+
+    Coarse quantizer: the ``n_centroids`` vectors with the smallest ids
+    serve as centroids — deterministic, broadcastable, and (unlike
+    k-means) reproducible in the DuckDB oracle.  Build: each vector is
+    assigned to its nearest centroid by cosine (a JVM expression over
+    the broadcast centroid list — at scale this is one map stage, and
+    the assignment would be written as a partition column so queries
+    prune files).  Query: rank centroids by query-cosine, search only
+    the ``nprobe`` best inverted lists, exact re-rank inside.
+
+    Candidates shrink ~n_centroids/nprobe; recall depends on cluster
+    structure (pinned vs brute force in tests).
+    """
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in df.select(id_col, vec_col)
+        .orderBy(F.asc(id_col))
+        .limit(n_centroids)
+        .collect()
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    # nearest-centroid assignment via array argmax — one independent
+    # score expression per centroid (a when-fold would nest each score
+    # tree inside the next condition AND branch: 2^n_centroids node
+    # blowup, measured as a driver OOM at 16×64).  Scores rounded to
+    # 9 dp so oracle-side ties resolve identically; array_position
+    # returns the FIRST max, i.e. the smallest cid.
+    scores = F.array(
+        *[F.round(cosine(v, _lit_vec(cvec)), 9) for _, cvec in cents]
+    )
+    cid_arr = F.array(*[F.lit(cid) for cid, _ in cents])
+    best_cid = F.element_at(
+        cid_arr, F.array_position(scores, F.array_max(scores)).cast("int")
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+
+    def _cos(c):
+        cv = np.asarray(c, dtype=np.float64)
+        return round(
+            float(
+                (cv @ q) / (np.sqrt((cv * cv).sum()) * np.sqrt((q * q).sum()))
+            ),
+            9,
+        )
+
+    probed = sorted(cents, key=lambda c: (-_cos(c[1]), c[0]))[:nprobe]
+    probe_ids = [cid for cid, _ in probed]
+    qlit = _lit_vec(query_vec)
+    return (
+        df.select(F.col(id_col), v.alias("_v"), best_cid.alias("_cid"))
+        .where(F.col("_cid").isin(probe_ids))
+        .select(
+            F.col(id_col), F.round(cosine(F.col("_v"), qlit), 6).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_pairs_exact(
     df: DataFrame,
     threshold: float,

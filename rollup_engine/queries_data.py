@@ -90,6 +90,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.rp_lsh_topk(e, qv, k=10, nbits=12, hamming_radius=4)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (nprobe=4 of 16 deterministic centroids).
+    Oracled: the DuckDB SQL reproduces centroid choice, 9-dp-rounded
+    assignment, probe ranking, and exact re-rank."""
+    e = _embs(spark, sf_dir)
+    qv = [float(x) for x in e.where("vec_id = 0").first()["embedding"]]
+    return ann.ivf_topk(e, qv, k=10, n_centroids=16, nprobe=4)
+
+
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets.  Oracle is the
     EXACT all-pairs cosine at the same threshold — falsifiable in the
@@ -121,6 +130,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embedding_pairs": q_embedding_pairs,
     "embedding_pairs_exact": q_embedding_pairs_exact,
     "multimodal_meta": q_multimodal_meta,
@@ -281,6 +291,37 @@ def _ann_lsh_oracle_sql(nbits: int = 12, hamming_radius: int = 4, k: int = 10) -
     """
 
 
+def _ann_ivf_oracle_sql(
+    n_centroids: int = 16, nprobe: int = 4, k: int = 10
+) -> str:
+    cos_vc = _COSINE_SQL.format(a="v.ve", b="c.cv")
+    cos_cq = _COSINE_SQL.format(a="cv", b="qv")
+    cos_vq = _COSINE_SQL.format(a="a.ve", b="qv")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    c AS (SELECT vec_id AS cid, ve AS cv FROM v ORDER BY vec_id LIMIT {n_centroids}),
+    q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+    scored AS (
+        SELECT v.vec_id, v.ve, c.cid, round({cos_vc}, 9) AS cs
+        FROM v CROSS JOIN c
+    ),
+    assign AS (
+        SELECT vec_id, ve,
+               (array_agg(cid ORDER BY cs DESC, cid ASC))[1] AS cid
+        FROM scored GROUP BY vec_id, ve
+    ),
+    probe AS (
+        SELECT cid FROM (
+            SELECT c.cid, round({cos_cq}, 9) AS cs FROM c CROSS JOIN q
+        ) ORDER BY cs DESC, cid ASC LIMIT {nprobe}
+    )
+    SELECT a.vec_id, round({cos_vq}, 6) AS score
+    FROM assign a CROSS JOIN q
+    WHERE a.cid IN (SELECT cid FROM probe)
+    ORDER BY score DESC, a.vec_id ASC LIMIT {k}
+    """
+
+
 def _pairs_exact_oracle_sql(threshold: float) -> str:
     cos = _COSINE_SQL.format(a="a.ve", b="b.ve")
     return f"""
@@ -339,6 +380,7 @@ DATA_ORACLES: dict[str, str] = {
     FROM documents""",
     "dedup_simhash": _simhash_oracle_sql(max_hamming=6),
     "ann_lsh": _ann_lsh_oracle_sql(nbits=12, hamming_radius=4, k=10),
+    "ann_ivf": _ann_ivf_oracle_sql(n_centroids=16, nprobe=4, k=10),
     # embedding_pairs: exact all-pairs oracle — at threshold 0.9 the
     # LSH signature-collision recall is ~1, so the sets agree (and at
     # sf0.01 ground truth is 0 pairs, making the gate precision-only).

@@ -132,6 +132,23 @@ def test_ann_lsh_recall(spark):
     assert overlap >= 0.8, (exact_ids, lsh_ids)
 
 
+def test_ann_ivf_recall(spark):
+    """IVF with nprobe covering a quarter of the centroids must find
+    the planted near-neighbors (they cluster around q's centroid)."""
+    rng = np.random.RandomState(23)
+    q = rng.normal(size=32)
+    near = [q + rng.normal(scale=0.05, size=32) for _ in range(5)]
+    noise = [rng.normal(size=32) for _ in range(100)]
+    d = _emb_df(spark, near + noise)
+    exact_ids = [r.vec_id for r in ann.cosine_topk(d, q.tolist(), k=5).collect()]
+    ivf_ids = [
+        r.vec_id
+        for r in ann.ivf_topk(d, q.tolist(), k=5, n_centroids=8, nprobe=4).collect()
+    ]
+    overlap = len(set(exact_ids) & set(ivf_ids)) / 5
+    assert overlap >= 0.8, (exact_ids, ivf_ids)
+
+
 def test_embedding_pairs_finds_planted(spark):
     rng = np.random.RandomState(3)
     v = rng.normal(size=24)
