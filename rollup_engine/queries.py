@@ -254,6 +254,18 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention expiry on the minute tier: buckets older than the
+    tier's 7-day horizon (relative to a parameterized now) are dropped
+    — the continuous-aggregate analog of the reference's trailing-time
+    re-run (§2.6)."""
+    from .retention import expire
+
+    return expire(
+        rollup(_deltas(spark, sf_dir), "minute"), "minute", FILTER_NOW
+    )
+
+
 def q_topk_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort/limit sanity: busiest conversations by turn count."""
     return (
@@ -282,6 +294,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tool_usage": q_tool_usage,
     "gapfill_locf": q_gapfill_locf,
     "gapfill_interp": q_gapfill_interp,
+    "rollup_retention": q_rollup_retention,
     "rollup_sketch_minute": q_rollup_sketch_minute,
     "rollup_hour_cascade": q_rollup_hour_cascade,
     "rollup_day_cascade": q_rollup_day_cascade,
@@ -431,6 +444,9 @@ ORACLES: dict[str, str] = {
                     ELSE CAST(COALESCE(prev_v, next_v) AS DOUBLE)
                END AS lat_avg_ms_interp
         FROM w""",
+    "rollup_retention": f"""SELECT * FROM ({_rollup_tier_sql('minute')})
+        WHERE bucket_start >= TIMESTAMP '{FILTER_NOW}'
+                              - INTERVAL {7 * 24 * 60} MINUTES""",
     # sketch/cascade paths must reproduce the plain SQL rollups exactly
     "rollup_sketch_minute": _rollup_tier_sql("minute"),
     "rollup_hour_cascade": _rollup_tier_sql("hour"),
