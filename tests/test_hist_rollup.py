@@ -62,6 +62,18 @@ def test_overflow_builds_tdigest(spark):
     assert all(r.hist is None and r.tdigest is not None for r in big)
 
 
+def test_narrow_projection_parity(spark):
+    """hist_rollup over narrow_for_rollup (precomputed error flags,
+    4 columns through the conv window) must equal the default path."""
+    from rollup_engine.hist_rollup import narrow_for_rollup
+    from rollup_engine.transcripts import clean, from_events
+
+    raw = from_events(spark, "/root/testdata/sf0.001")
+    full = hist_rollup(with_deltas(clean(raw)), "hour")
+    narrow = hist_rollup(with_deltas(clean(narrow_for_rollup(raw))), "hour")
+    pd.testing.assert_frame_equal(_pdf(full), _pdf(narrow), check_dtype=False)
+
+
 def test_hot_bucket_overflow_is_distributed(spark):
     """The scale-killer fixture (VERDICT r1): ONE bucket, 10⁶ distinct
     delta values.  The finalize must not funnel the bucket's whole value
