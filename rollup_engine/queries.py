@@ -303,8 +303,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 from .queries_data import DATA_ORACLES, DATA_QUERIES  # noqa: E402
+from .queries_pipeline import q_incremental_minute, q_stream_minute  # noqa: E402
 
 QUERIES.update(DATA_QUERIES)
+QUERIES["stream_minute"] = q_stream_minute
+QUERIES["incremental_minute"] = q_incremental_minute
 
 _TERM_MATCH = (
     "(COALESCE(text,'') LIKE '%{t}%' OR COALESCE(tool,'') LIKE '%{t}%' "
@@ -459,5 +462,36 @@ ORACLES: dict[str, str] = {
     GROUP BY 2, 3
     """,
 }
+
+_STREAM_METRICS_SQL = """
+    COUNT(delta_ms) AS turn_count,
+    MIN(delta_ms) AS lat_min_ms,
+    MAX(delta_ms) AS lat_max_ms,
+    CAST(FLOOR(AVG(delta_ms)) AS BIGINT) AS lat_avg_ms,
+    CAST(quantile_disc(delta_ms, 0.5) AS BIGINT) AS lat_p50_ms,
+    CAST(quantile_disc(delta_ms, 0.9) AS BIGINT) AS lat_p90_ms,
+    CAST(quantile_disc(delta_ms, 0.99) AS BIGINT) AS lat_p99_ms,
+    ROUND(AVG(CASE WHEN tool LIKE 'error:4%' THEN 1.0 ELSE 0.0 END), 4)
+        AS err4xx_rate,
+    ROUND(AVG(CASE WHEN tool LIKE 'error:5%' THEN 1.0 ELSE 0.0 END), 4)
+        AS err5xx_rate
+"""
+
+# Streaming == batch: the availableNow stream (stateful per-conv deltas,
+# watermarked tumbling windows, append sink) must reproduce the direct
+# batch minute rollup (no tier/lat_sum columns in the streaming shape).
+ORACLES["stream_minute"] = f"""{_DELTAS_CTE}
+    SELECT date_trunc('minute', ts) AS bucket_start, {_STREAM_METRICS_SQL}
+    FROM d WHERE delta_ms IS NOT NULL
+    GROUP BY 1
+    """
+
+# Incremental == batch: two snapshot refreshes with boundary stitching
+# and touched-bucket-only merge equal a full recompute.
+ORACLES["incremental_minute"] = f"""{_DELTAS_CTE}
+    SELECT date_trunc('minute', ts) AS bucket_start, {_METRICS_SQL}
+    FROM d WHERE delta_ms IS NOT NULL
+    GROUP BY 1
+    """
 
 ORACLES.update(DATA_ORACLES)

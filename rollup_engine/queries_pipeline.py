@@ -1,0 +1,117 @@
+"""Driver gates for the two PIPELINE modes — Structured Streaming and
+incremental snapshot refresh — verified against the same DuckDB batch
+SQL as the one-shot rollups.  These close the loop the pytest suite can
+only pin locally: the driver itself now checks that a stream / an
+incremental refresh over the sf parquet equals a batch recompute.
+
+Both gates stage their inputs under ``.gatework/`` (gitignored, wiped
+per call, inside the repo so nothing is written elsewhere).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .transcripts import from_events
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# conv_id for the watermark sentinel: \x7f sorts after every printable
+# id and cannot collide with the generator's numeric user ids.
+_SENTINEL_CONV = "\x7fwatermark-sentinel"
+
+
+def _workdir(kind: str, sf_dir: str) -> str:
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    d = os.path.join(_REPO, ".gatework", f"{kind}_{tag}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def q_stream_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming minute rollup == batch SQL rollup.
+
+    The stream is an availableNow pass of exactly two microbatches:
+    ALL real turns in batch 1 (the watermark is still unset during the
+    first batch, so no row is ever late — hash-partitioned files each
+    span the full time range, so one-file-per-batch would late-drop
+    most rows), then a far-future sentinel conversation alone in batch
+    2 — its event time advances the watermark past every real window,
+    so append mode flushes ALL real buckets before the pass ends
+    (watermarks only take effect in the batch after the data that moved
+    them).  The sentinel's own bucket is filtered out of the result.
+    """
+    from .streaming import run_stream_once
+
+    work = _workdir("stream", sf_dir)
+    t = from_events(spark, sf_dir)
+    max_ts = t.agg(F.max("ts")).first()[0]
+    input_dir = os.path.join(work, "input")
+    t.repartition(4, "conv_id").write.mode("overwrite").parquet(input_dir)
+    real_parts = set(os.listdir(input_dir))
+
+    sentinel_ts = F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")
+    sentinel = spark.range(2).select(
+        F.lit(_SENTINEL_CONV).alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("").alias("text"),
+        F.lit("").alias("tool"),
+        (sentinel_ts + F.col("id") * F.expr("INTERVAL 1 SECOND")).alias("ts"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(input_dir)
+    # the file source orders batches by modification time: pin the
+    # sentinel part files strictly after the real ones
+    now = time.time()
+    for f in set(os.listdir(input_dir)) - real_parts:
+        full = os.path.join(input_dir, f)
+        os.utime(full, (now + 60, now + 60))
+
+    n_real = len([f for f in real_parts if f.startswith("part-")])
+    run_stream_once(
+        spark,
+        input_dir,
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "out"),
+        max_files=n_real,
+    )
+    out = spark.read.parquet(os.path.join(work, "out"))
+    return out.where(F.col("bucket_start") <= F.lit(max_ts))
+
+
+def q_incremental_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot incremental refresh == batch SQL rollup: snapshot 1
+    carries each conversation's first half, snapshot 2 the rest; the
+    boundary stitch must recover every cross-batch delta and the
+    touched-bucket merge must equal a full recompute."""
+    from .checkpoint import SnapshotStore
+    from .incremental import IncrementalRollup
+
+    work = _workdir("incr", sf_dir)
+    t = from_events(spark, sf_dir)
+    store = SnapshotStore(os.path.join(work, "store"))
+    store.append(t.where("turn_idx < 5"))
+    store.append(t.where("turn_idx >= 5"))
+    job = IncrementalRollup(store, os.path.join(work, "work"))
+    job.refresh(spark)
+    job.refresh(spark)
+    out = job.read_rollup(spark)
+    return out.select(
+        "bucket_start",
+        "turn_count",
+        "lat_min_ms",
+        "lat_max_ms",
+        "lat_avg_ms",
+        "lat_p50_ms",
+        "lat_p90_ms",
+        "lat_p99_ms",
+        "lat_sum_ms",
+        "err4xx_rate",
+        "err5xx_rate",
+    )

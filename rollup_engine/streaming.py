@@ -156,12 +156,15 @@ def run_stream_once(
     input_dir: str,
     checkpoint_dir: str,
     out_dir: str,
+    max_files: int = 64,
 ) -> None:
     """One availableNow pass: process every unseen file, update state,
     append finalized buckets to the parquet sink, stop.  The file sink
     (unlike memory) supports checkpoint recovery, so repeated calls
-    resume conversation state and watermarks."""
-    turns = read_turn_stream(spark, input_dir)
+    resume conversation state and watermarks.  ``max_files=1`` forces
+    one microbatch per file — watermarks then advance between files,
+    letting a later file flush earlier windows in the same pass."""
+    turns = read_turn_stream(spark, input_dir, max_files=max_files)
     rollup = stream_minute_rollup(stream_deltas(turns))
     q = (
         rollup.writeStream.outputMode("append")
