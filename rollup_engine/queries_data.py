@@ -115,6 +115,30 @@ def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_pairs_exact(_embs(spark, sf_dir), threshold=0.4)
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set selection composition: exact-dedup survivors that
+    clear a quality threshold in the target language — the canonical
+    filter chain of an LLM data pipeline (dedup → quality → lang)."""
+    docs = _docs(spark, sf_dir)
+    feats = textops.add_text_features(docs)
+    survivors = dedup.dedup_exact(docs).select("doc_id")
+    return (
+        feats.join(survivors, "doc_id")
+        .where((F.col("quality") >= 0.55) & (F.col("lang_pred") == "en"))
+        .select("doc_id", "source", "quality", "lang_pred")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gate sample (40%): same kept set at any
+    partitioning/cluster size, no shuffle — unlike df.sample."""
+    from .sampling import deterministic_sample
+
+    return deterministic_sample(_docs(spark, sf_dir), "doc_id", 40).select(
+        "doc_id", "source"
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_from_documents(_docs(spark, sf_dir))
     feats = multimodal.extract_features(media, fake=True)
@@ -133,6 +157,8 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "embedding_pairs": q_embedding_pairs,
     "embedding_pairs_exact": q_embedding_pairs_exact,
+    "quality_filter": q_quality_filter,
+    "stratified_sample": q_stratified_sample,
     "multimodal_meta": q_multimodal_meta,
 }
 
@@ -378,6 +404,19 @@ DATA_ORACLES: dict[str, str] = {
            64 + ('0x' || substr(sha256(text), 1, 2))::INT AS width,
            64 + ('0x' || substr(sha256(text), 3, 2))::INT AS height
     FROM documents""",
+    "quality_filter": _FEATURES_CTE + r"""
+    , survivors AS (
+        SELECT min(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+    )
+    SELECT f.doc_id, f.source, f.quality, f.lang_pred
+    FROM feats f JOIN survivors s ON f.doc_id = s.doc_id
+    WHERE f.quality >= 0.55 AND f.lang_pred = 'en'""",
+    "stratified_sample": """
+    SELECT doc_id, source FROM documents
+    WHERE ('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 100 < 40""",
     "dedup_simhash": _simhash_oracle_sql(max_hamming=6),
     "ann_lsh": _ann_lsh_oracle_sql(nbits=12, hamming_radius=4, k=10),
     "ann_ivf": _ann_ivf_oracle_sql(n_centroids=16, nprobe=4, k=10),
