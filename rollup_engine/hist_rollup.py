@@ -299,7 +299,11 @@ def hist_cascade(rollup_df: DataFrame, to_tier: str) -> DataFrame:
     """
     t = TIERS[to_tier]
     target = F.date_trunc(t.duckdb_trunc, F.col("bucket_start"))
-    src = rollup_df.withColumn("_target", target)
+    # Checkpoint the TIER relation (calendar-bounded, far smaller than
+    # its exploded per-value form): its three consumers below (hist
+    # branch, upper-bound probe, t-digest branch isEmpty) then read
+    # blocks instead of re-running the upstream rollup each.
+    src = rollup_df.withColumn("_target", target).localCheckpoint(eager=True)
 
     with_hist = src.where(F.col("hist").isNotNull())
     h = with_hist.select(
@@ -321,7 +325,22 @@ def hist_cascade(rollup_df: DataFrame, to_tier: str) -> DataFrame:
         F.sum("_e4").alias("_e4"),
         F.sum("_e5").alias("_e5"),
     )
-    out = _finalize_from_hist_rows(h, max_bins=sketches.HIST_MAX_BINS)
+    # Overflow upper bound WITHOUT materializing the exploded relation:
+    # a target bucket's distinct-value count ≤ the sum of its source
+    # hists' bin counts — computable from the checkpointed tier rows.
+    # Under the bound, the whole explode→compress→finalize runs as ONE
+    # lazy exact plan (no second checkpoint, no probe job).
+    ub_row = (
+        with_hist.groupBy("_target")
+        .agg(F.sum(F.size("hist")).alias("_ub"))
+        .agg(F.max("_ub"))
+        .first()
+    )
+    ub = ub_row[0] if ub_row and ub_row[0] is not None else 0
+    if ub <= sketches.HIST_MAX_BINS:
+        out = _finalize_exact(h)
+    else:
+        out = _finalize_from_hist_rows(h, max_bins=sketches.HIST_MAX_BINS)
 
     td_src = src.where(F.col("hist").isNull() & F.col("tdigest").isNotNull())
     if not td_src.isEmpty():
