@@ -102,3 +102,41 @@ def test_vectorized_scan_and_two_phase_agg(spark):
     agg_nodes = plan.count("HashAggregate")
     exchanges = plan.count("Exchange")
     assert agg_nodes >= 2 and exchanges >= 2
+
+def test_deterministic_sample_is_map_side(spark):
+    """Hash-gate sampling must add NO exchange — a pure scan-side
+    filter (df.sample would be the same shape, but is partition-seeded;
+    the hash gate also reaches the scan as a data filter)."""
+    from rollup_engine.sampling import deterministic_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(deterministic_sample(docs, "doc_id", 40))
+    assert "Exchange" not in plan
+    assert "Filter" in plan
+
+
+def test_narrow_projection_prunes_scan(spark):
+    """The bench/engine hot path reads exactly four physical columns:
+    conv_id, turn_idx, ts, tool (flags derive from tool at projection;
+    text/role never leave the parquet footer)."""
+    from rollup_engine.deltas import with_deltas
+    from rollup_engine.generate import synthetic_transcripts
+    from rollup_engine.hist_rollup import narrow_for_rollup
+    from rollup_engine.transcripts import clean
+
+    t = synthetic_transcripts(spark, n_convs=10, turns_per_conv=5)
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="narrow_plan_")
+    t.write.mode("overwrite").parquet(d)
+    raw = spark.read.parquet(d)
+    compress = (
+        with_deltas(clean(narrow_for_rollup(raw)))
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("b"), "delta_ms")
+        .count()
+    )
+    plan = _plan(compress)
+    schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_lines
+    for l in schema_lines:
+        assert "text" not in l and "role" not in l
