@@ -124,7 +124,30 @@ def run_compat(spark, args):
     _fan_out(result, args, epoch)
 
 
-def run_engine(spark, args) -> None:
+def _serve_from_tier(spark, args, minute_df):
+    """Engine-mode Prometheus endpoint: each scrape merges the trailing
+    window's minute buckets (serve.trailing_result — O(minutes) reads
+    of the tier, never raw data; the reference re-runs its whole
+    pipeline per scrape)."""
+    import datetime as dt
+
+    from .serve import serve_prometheus, trailing_result
+
+    minutes = args.time_filter_minutes or 60
+
+    def compute():
+        now = args.now or dt.datetime.now(dt.timezone.utc)
+        return trailing_result(minute_df, now, minutes)
+
+    host, _, port = args.prometheus_listen.rpartition(":")
+    server = serve_prometheus(compute, address=host or "0.0.0.0", port=int(port))
+    if not args.quiet:
+        print(f"prometheus endpoint on {server.server_address}")
+    return server
+
+
+def run_engine(spark, args):
+    """Returns the HTTP server when --prometheus-listen is given."""
     from .deltas import with_deltas
     from .hist_rollup import hist_cascade, hist_rollup, narrow_for_rollup
     from .transcripts import clean
@@ -138,7 +161,9 @@ def run_engine(spark, args) -> None:
         ck = job.refresh(spark)
         if not args.quiet:
             print(ck)
-        return
+        if args.prometheus_listen:
+            return _serve_from_tier(spark, args, job.read_rollup(spark))
+        return None
     raw = spark.read.parquet(args.transcripts)
     deltas = with_deltas(clean(narrow_for_rollup(raw)))
     minute = hist_rollup(deltas, "minute")
@@ -151,8 +176,11 @@ def run_engine(spark, args) -> None:
     for tier, df in outputs.items():
         if args.out:
             df.write.mode("overwrite").parquet(f"{args.out}/{tier}")
-        elif not args.quiet:
+        elif not args.quiet and not args.prometheus_listen:
             df.orderBy("bucket_start").show(20, truncate=False)
+    if args.prometheus_listen:
+        return _serve_from_tier(spark, args, minute)
+    return None
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -161,17 +189,18 @@ def main(argv: list[str] | None = None) -> None:
 
     master = f"local[{args.cpus}]" if args.cpus else None
     spark = get_spark("rollup_engine_job", master=master)
+    server = None
     if args.logs:
         server = run_compat(spark, args)
-        if server is not None:
-            import threading
-
-            threading.Event().wait()  # serve until killed
     elif args.transcripts or (args.snapshot_store and args.workdir):
-        run_engine(spark, args)
+        server = run_engine(spark, args)
     else:
         print("need --logs or --transcripts/--snapshot-store", file=sys.stderr)
         sys.exit(2)
+    if server is not None:
+        import threading
+
+        threading.Event().wait()  # serve until killed
 
 
 if __name__ == "__main__":

@@ -95,3 +95,37 @@ def test_prometheus_endpoint(spark):
         assert len(calls) == 2
     finally:
         server.shutdown()
+
+def test_cli_engine_prometheus_from_tier(spark, tmp_path):
+    """Engine-mode --prometheus-listen serves trailing-window metrics
+    merged FROM THE MINUTE TIER (no raw re-read per scrape)."""
+    from rollup_engine.generate import synthetic_transcripts
+    from rollup_engine.job import build_parser, run_engine
+
+    t = synthetic_transcripts(spark, n_convs=20, turns_per_conv=20)
+    t.write.mode("overwrite").parquet(str(tmp_path / "turns"))
+    max_ts = t.agg({"ts": "max"}).first()[0]
+    args = build_parser().parse_args(
+        [
+            "--transcripts", str(tmp_path / "turns"),
+            "--out", str(tmp_path / "rollups"),
+            "--prometheus-listen", "127.0.0.1:0",
+            "--now", str(max_ts),
+            "-t", "100000",
+            "-q",
+        ]
+    )
+    server = run_engine(spark, args)
+    try:
+        port = server.server_address[1]
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=60
+        ).read().decode()
+        assert "request_count" in body
+        count = int(
+            [l for l in body.splitlines() if l.startswith("request_count ")][0]
+            .split()[1]
+        )
+        assert count > 0
+    finally:
+        server.shutdown()
