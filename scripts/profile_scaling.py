@@ -46,27 +46,37 @@ def main():
     raw = spark.read.parquet(table)
 
     stages = {}
-    scan = raw.select("conv_id", "turn_idx", "ts", "tool")
-    deltas = with_deltas(clean(raw))
-    compress = (
-        deltas.select(
-            F.date_trunc("minute", F.col("ts")).alias("bucket_start"),
-            F.col("delta_ms").alias("_v"),
-        )
-        .where(F.col("_v").isNotNull())
-        .groupBy("bucket_start", "_v")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    full = hist_rollup(deltas, "minute")
 
-    for name, df in [
+    def scan():
+        return raw.select("conv_id", "turn_idx", "ts", "tool")
+
+    def deltas():
+        return with_deltas(clean(raw))
+
+    def compress():
+        return (
+            deltas()
+            .select(
+                F.date_trunc("minute", F.col("ts")).alias("bucket_start"),
+                F.col("delta_ms").alias("_v"),
+            )
+            .where(F.col("_v").isNotNull())
+            .groupBy("bucket_start", "_v")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+
+    def full():
+        # rebuilt per rep: hist_rollup materializes eagerly
+        return hist_rollup(deltas(), "minute")
+
+    for name, build in [
         ("scan", scan),
         ("clean_deltas", deltas),
         ("compress", compress),
         ("full_minute", full),
     ]:
-        _force(df)  # warm-up
-        stages[name] = _timed(lambda d=df: _force(d))
+        _force(build())  # warm-up
+        stages[name] = _timed(lambda b=build: _force(b()))
     print(json.dumps({"cpus": cpus, "stages": stages}))
 
 
