@@ -247,3 +247,18 @@ def test_rp_signature_pandas_path_matches_expr(spark):
         ann._pandas_signature_udf(planes)(v).alias("s_pd"),
     ).collect()
     assert all(r.s_expr == r.s_pd for r in both)
+
+def test_deterministic_sample_stable_across_partitioning(spark):
+    """The core claim vs df.sample: the kept set is a pure function of
+    the key, identical at any partitioning (and so at any cluster
+    size); rate is approximately honored."""
+    from rollup_engine.sampling import deterministic_sample
+
+    d = spark.range(2000).select(F.col("id").alias("doc_id"))
+    kept1 = {r.doc_id for r in deterministic_sample(d.repartition(1), "doc_id", 40).collect()}
+    kept13 = {r.doc_id for r in deterministic_sample(d.repartition(13), "doc_id", 40).collect()}
+    assert kept1 == kept13
+    assert 0.3 < len(kept1) / 2000 < 0.5
+    # disjoint residue ranges under one salt → disjoint cuts
+    lo = {r.doc_id for r in deterministic_sample(d, "doc_id", 10).collect()}
+    assert lo <= kept1
