@@ -266,6 +266,18 @@ def q_rollup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_from_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star codec path, driver-verified end-to-end: transcripts →
+    Gorilla/delta-of-delta chunk encode → decode → deltas → minute
+    rollup must equal the direct SQL rollup (the codec round-trip is
+    bit-exact, so any divergence is a codec or chunking bug)."""
+    from .chunks import decode_chunks, encode_chunks
+
+    t = from_events(spark, sf_dir)
+    rt = decode_chunks(encode_chunks(t))
+    return rollup(with_deltas(rt), "minute")
+
+
 def q_topk_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort/limit sanity: busiest conversations by turn count."""
     return (
@@ -295,6 +307,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gapfill_locf": q_gapfill_locf,
     "gapfill_interp": q_gapfill_interp,
     "rollup_retention": q_rollup_retention,
+    "rollup_from_chunks": q_rollup_from_chunks,
     "rollup_sketch_minute": q_rollup_sketch_minute,
     "rollup_hour_cascade": q_rollup_hour_cascade,
     "rollup_day_cascade": q_rollup_day_cascade,
@@ -450,6 +463,7 @@ ORACLES: dict[str, str] = {
     "rollup_retention": f"""SELECT * FROM ({_rollup_tier_sql('minute')})
         WHERE bucket_start >= TIMESTAMP '{FILTER_NOW}'
                               - INTERVAL {7 * 24 * 60} MINUTES""",
+    "rollup_from_chunks": _rollup_tier_sql("minute"),
     # sketch/cascade paths must reproduce the plain SQL rollups exactly
     "rollup_sketch_minute": _rollup_tier_sql("minute"),
     "rollup_hour_cascade": _rollup_tier_sql("hour"),
