@@ -225,6 +225,37 @@ def q_tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_uses"))
 
 
+def q_topk_convs_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k: 3 busiest conversations PER HOUR BUCKET (rank
+    over a groupBy — a window/sort/limit capability class the reference
+    lacks entirely; fleet-monitoring staple)."""
+    from pyspark.sql import Window
+
+    t = from_events(spark, sf_dir)
+    per = t.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_start"),
+        F.col("conv_id"),
+    ).agg(F.count(F.lit(1)).alias("n_turns"))
+    w = Window.partitionBy("bucket_start").orderBy(
+        F.desc("n_turns"), F.asc("conv_id")
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("bucket_start", "rank", "conv_id", "n_turns")
+    )
+
+
+def q_active_convs_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct active conversations per hour (the engine also
+    offers approx_count_distinct for the 100 TB path; the gate pins the
+    exact semantics)."""
+    t = from_events(spark, sf_dir)
+    return t.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_start")
+    ).agg(F.countDistinct("conv_id").alias("active_convs"))
+
+
 def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spine + LOCF over the minute tier; gap rows keep count=0 and
     null metrics (A6 × gap-fill contract)."""
@@ -304,6 +335,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_convs": q_topk_convs,
     "rollup_textlen": q_rollup_textlen,
     "tool_usage": q_tool_usage,
+    "topk_convs_hourly": q_topk_convs_hourly,
+    "active_convs_hourly": q_active_convs_hourly,
     "gapfill_locf": q_gapfill_locf,
     "gapfill_interp": q_gapfill_interp,
     "rollup_retention": q_rollup_retention,
@@ -400,6 +433,23 @@ ORACLES: dict[str, str] = {
         SELECT date_trunc('day', ts) AS bucket_start, tool,
                COUNT(*) AS n_uses
         FROM t GROUP BY 1, 2""",
+    "topk_convs_hourly": f"""{_TRANSCRIPTS_CTE},
+        per AS (
+            SELECT date_trunc('hour', ts) AS bucket_start, conv_id,
+                   COUNT(*) AS n_turns
+            FROM t GROUP BY 1, 2
+        )
+        SELECT bucket_start,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY bucket_start
+                   ORDER BY n_turns DESC, conv_id ASC) AS INT) AS rank,
+               conv_id, n_turns
+        FROM per
+        QUALIFY rank <= 3""",
+    "active_convs_hourly": f"""{_TRANSCRIPTS_CTE}
+        SELECT date_trunc('hour', ts) AS bucket_start,
+               COUNT(DISTINCT conv_id) AS active_convs
+        FROM t GROUP BY 1""",
     "gapfill_locf": f"""{_DELTAS_CTE},
         r AS (
             SELECT date_trunc('minute', ts) AS bucket_start, {_METRICS_SQL}
