@@ -294,6 +294,15 @@ def write_baseline_md(payload: dict) -> None:
             f"{sc['hw_efficiency']}; capacity-normalized job efficiency "
             f"**{sc['efficiency_normalized']}**.",
             "",
+            "",
+            "The timed job reads plain parquet, so it PAYS the conv_id "
+            "window exchange — deliberately, for round-over-round "
+            "comparability. Deployments store transcripts bucketed by "
+            "conv_id (`ingest.write_bucketed_table` / Iceberg "
+            "`bucket(N, conv_id)`), which removes that exchange entirely "
+            "(plan-pinned: tests/test_plans.py::"
+            "test_bucketed_table_window_needs_no_exchange).",
+            "",
             "Methodology: each level's measurement is paired with a pure-"
             "CPU multiprocessing capacity probe in the same time window; "
             "the normalized number divides out hypervisor noisy-neighbor "

@@ -43,3 +43,25 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts"
     )
+
+
+def write_bucketed_table(
+    df: DataFrame, table: str, n_buckets: int = 64
+) -> None:
+    """Hash-BUCKETED table on conv_id (Spark bucketing, not directory
+    partitioning): a scan of this table reports
+    HashPartitioning(conv_id), so the per-conversation window in
+    clean()/with_deltas() needs NO exchange — the raw pass's one big
+    shuffle disappears at read time, paid once at write time instead.
+    This is the parquet/metastore analog of Iceberg's
+    ``bucket(N, conv_id)`` write distribution; pinned by
+    tests/test_plans.py::test_bucketed_table_window_needs_no_exchange.
+    """
+    (
+        df.repartition(n_buckets, "conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.bucketBy(n_buckets, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .mode("overwrite")
+        .saveAsTable(table)
+    )

@@ -140,3 +140,31 @@ def test_narrow_projection_prunes_scan(spark):
     assert schema_lines
     for l in schema_lines:
         assert "text" not in l and "role" not in l
+
+
+def test_bucketed_table_window_needs_no_exchange(spark):
+    """The 100 TB killer optimization: over a conv_id-BUCKETED table,
+    clean() + with_deltas() run with ZERO exchanges — the scan itself
+    satisfies the window's ClusteredDistribution(conv_id).  (Over plain
+    parquet the same plan has one hash exchange.)"""
+    from rollup_engine.generate import synthetic_transcripts
+    from rollup_engine.ingest import write_bucketed_table
+    from rollup_engine.transcripts import clean
+
+    t = synthetic_transcripts(spark, n_convs=30, turns_per_conv=10)
+    write_bucketed_table(t, "bucketed_turns_test", n_buckets=4)
+    try:
+        bt = spark.table("bucketed_turns_test")
+        d = with_deltas(clean(bt))
+        plan = _plan(d)
+        assert "Exchange" not in plan, plan
+        assert "Window" in plan
+        # parity: same rows as the unbucketed path
+        base = with_deltas(clean(t))
+        assert d.count() == base.count()
+        assert (
+            d.selectExpr("sum(delta_ms) s").first().s
+            == base.selectExpr("sum(delta_ms) s").first().s
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_turns_test")
