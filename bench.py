@@ -75,9 +75,9 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
     )
     times: dict[str, float] = {}
     for name in HEADLINE:
-        # hist_rollup materializes eagerly at plan construction, so the
-        # QUERY BUILD must sit inside the timed region — a rebuilt plan
-        # per rep keeps the measurement end-to-end honest.
+        # Plans are fully lazy (round 3: no eager checkpoint anywhere),
+        # but the build still sits inside the timed region so the
+        # measurement stays end-to-end comparable across rounds.
         _force(QUERIES[name](spark, sf_dir))  # untimed JIT/codegen warm-up
         t0 = time.perf_counter()
         _force(QUERIES[name](spark, sf_dir))
@@ -128,8 +128,8 @@ def run_scaling_child(table: str, cpus: int) -> None:
     # cascades read only the aggregated tier — their cost is bounded by
     # the calendar, not the data volume (that is the engine's central
     # design claim) — so they are timed separately below, outside the
-    # throughput denominator.  hist_rollup materializes eagerly, so the
-    # plan is REBUILT inside every timed run.
+    # throughput denominator.  The plan is REBUILT inside every timed
+    # run so each rep is a full end-to-end execution.
     def job():
         _force(hist_rollup(with_deltas(clean(raw)), "minute"))
 
@@ -145,7 +145,7 @@ def run_scaling_child(table: str, cpus: int) -> None:
     persisted = minute.repartition(4 * cpus, "bucket_start").persist()
     _force(persisted)
 
-    def casc_job():  # rebuilt per rep (eager finalize inside)
+    def casc_job():  # rebuilt per rep (full end-to-end execution)
         _force(
             hist_cascade(persisted, "hour").unionByName(
                 hist_cascade(persisted, "day")
@@ -229,9 +229,14 @@ def run_scaling(levels=(1, 4), max_attempts: int = 3) -> dict:
     paired with a same-window hardware-capacity probe; while the RAW
     efficiency misses 0.8 the measurement is retried (this VM's
     deliverable capacity swings ±50% between windows — the paired probe
-    documents each window), and the attempt with the best raw
-    efficiency is reported, its probe numbers alongside."""
+    documents each window).  The reported attempt is the one with the
+    CLEANEST hardware window (highest hw_efficiency) — a selection
+    criterion neutral to the headline number, unlike best-of-N on raw
+    efficiency — and the median raw efficiency across attempts is
+    reported alongside."""
     table = ensure_bench_table()
+    import statistics
+
     import pyarrow.dataset as ds
 
     turns = ds.dataset(table, format="parquet").count_rows()
@@ -241,9 +246,16 @@ def run_scaling(levels=(1, 4), max_attempts: int = 3) -> dict:
         attempts.append(a)
         if a["efficiency"] >= 0.8:
             break
-    best = max(attempts, key=lambda a: a["efficiency"])
+    best = max(attempts, key=lambda a: a["hw_efficiency"])
     best.update(
-        {"input_turns": turns, "bench_table": table, "attempts": len(attempts)}
+        {
+            "input_turns": turns,
+            "bench_table": table,
+            "attempts": len(attempts),
+            "efficiency_median_of_attempts": round(
+                statistics.median(a["efficiency"] for a in attempts), 3
+            ),
+        }
     )
     return best
 

@@ -38,7 +38,10 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm (degenerate) vector yields NULL instead of
+    # an ANSI DIVIDE_BY_ZERO job failure; callers filter NULL scores.
+    # Identical to plain division whenever both norms are non-zero.
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def _lit_vec(v) -> Column:
@@ -226,9 +229,13 @@ def ivf_topk(
         *[F.round(cosine(v, _lit_vec(cvec)), 9) for _, cvec in cents]
     )
     cid_arr = F.array(*[F.lit(cid) for cid, _ in cents])
-    best_cid = F.element_at(
-        cid_arr, F.array_position(scores, F.array_max(scores)).cast("int")
-    )
+    # Degenerate guard (ADVICE r2): a zero-norm vector scores NaN
+    # against every centroid, array_position then returns 0 and
+    # element_at(…, 0) would throw.  Such vectors are parked in the
+    # first list (and filtered out of the re-rank by the NaN score
+    # predicate below) instead of failing the job.
+    pos = F.array_position(scores, F.array_max(scores)).cast("int")
+    best_cid = F.element_at(cid_arr, F.when(pos == 0, F.lit(1)).otherwise(pos))
     q = np.asarray(query_vec, dtype=np.float64)
 
     def _cos(c):
@@ -249,6 +256,9 @@ def ivf_topk(
         .select(
             F.col(id_col), F.round(cosine(F.col("_v"), qlit), 6).alias("score")
         )
+        # NaN sorts above every real score in DESC order — drop
+        # zero-norm/degenerate rows instead of letting them pollute top-k
+        .where(F.col("score").isNotNull() & ~F.isnan("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )

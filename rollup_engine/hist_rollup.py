@@ -8,30 +8,57 @@ sorted ``array<struct<v:long, c:long>>`` histogram column, so the whole
 minute→hour→day cascade is expressible with built-in aggregates +
 ``explode`` and never leaves whole-stage codegen.
 
-Plan (one logical flow, two exchanges, zero Python on the common path):
+Plan (ONE lazy logical flow, two exchanges, zero Python, zero driver
+actions — building the DataFrame never runs a job):
 
-  deltas → groupBy(bucket, delta) count       [exchange 1, map-side combine]
-         → window cumsum over value per bucket [reuses exchange-1 keys? no:
-           re-keyed by bucket — exchange 2 over the *compressed* hist rows]
-         → groupBy(bucket):
-             count/min/max/sum/avg  from (v, c)
-             p50/p90/p99            nearest-rank: min v with cum ≥ ceil(q·n)
-             hist                   sort_array(collect_list(struct(v, c)))
-             err counters           summed alongside
+  deltas → groupBy(bucket, delta) count        [exchange 1, map-side combine]
+         → window count(distinct values)/bucket [exchange 2 on bucket]
+         → log-quantize values ONLY in buckets whose distinct-value
+           count exceeds ``max_bins``           [pure expression]
+         → re-group (bucket, value)             [no exchange: bucket
+           partitioning co-locates (bucket, value)]
+         → cumsum window + groupBy(bucket):     [no exchange]
+             count/min/max/sum/avg   exact (carried as mergeable
+                                     _xmin/_xmax/_xsum per hist row, so
+                                     quantization never touches them)
+             p50/p90/p99             nearest-rank: min v with cum ≥ ceil(q·n)
+             hist                    sort_array(collect_list(struct(v, c)))
+             err counters            summed alongside
 
-Overflow contract (the reference's exact-≤10k / approx-above,
-/root/reference/Cargo.toml:20-21, generalized): buckets whose distinct-
-value count exceeds ``HIST_MAX_BINS`` keep exact percentiles (they are
-computed from rows, not the array) but store a t-digest (built in a
-vectorized pandas stage from the already-compressed (v, c) rows) instead
-of the histogram array; cascades merge those through sketches.merge.
+Overflow contract (the reference's exact-≤threshold / approx-above,
+/root/reference/Cargo.toml:20-21, generalized): buckets whose
+distinct-value count exceeds ``max_bins`` store a DDSketch-style
+log-quantized histogram instead of exact values — fixed γ = ``DD_GAMMA``
+bins (bin i covers (γ^(i-1), γ^i]; representative = round(γ^(i-1/2)),
+the geometric midpoint), bounding both the state and the percentile
+error:
+
+- state ≤ ``DD_MAX_BINS`` (≈21.9k) entries per sign class over the FULL
+  int64 domain — a constant, independent of the data;
+- p50/p90/p99 relative error ≤ (γ-1)/2 ≈ 0.1% (plus ±0.5 absolute from
+  long rounding; values |v| ≲ 500 quantize to themselves exactly);
+- count / min / max / sum / avg / error rates stay EXACT (carried
+  state, not recomputed from quantized values);
+- deterministic: unlike a merged t-digest, the quantizer is a pure
+  function of the value — results never depend on partitioning or
+  merge order;
+- mergeable: a quantized histogram is still rows of (v, c), so cascades
+  re-aggregate it through the same path (re-quantization is idempotent
+  for |v| outside [~500, ~1000] and drifts at most one bin inside;
+  total cascade error stays within ~2·(γ-1)/2).
+
+Bound on the one per-bucket stage: the distinct-count window holds one
+bucket's COMPRESSED (value, count) rows in a single (spillable) sort
+task — O(distinct values), not O(rows); after quantization every later
+per-bucket stage is ≤ max(max_bins, 2·DD_MAX_BINS+1) rows.  For
+cluster-loss robustness there is deliberately NO lineage truncation
+(localCheckpoint) anywhere: every stage can be recomputed from source.
 """
 
 from __future__ import annotations
 
+import math
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -65,11 +92,46 @@ HIST_ROLLUP_FIELDS = [
     T.StructField("err4xx_rate", T.DoubleType(), True),
     T.StructField("err5xx_rate", T.DoubleType(), True),
     T.StructField("hist", HIST_TYPE, True),
+    # Always NULL on this engine since round 3 (the quantized histogram
+    # IS the bounded overflow state); kept for schema compatibility with
+    # the binary-sketch engine and previously-written tier tables.
     T.StructField("tdigest", T.BinaryType(), True),
 ]
 HIST_ROLLUP_SCHEMA = T.StructType(HIST_ROLLUP_FIELDS)
 
 _QS = {"lat_p50_ms": 0.5, "lat_p90_ms": 0.9, "lat_p99_ms": 0.99}
+
+# Log-quantizer base: relative half-width (γ-1)/2 ≈ 0.1% per bin.
+DD_GAMMA = 1.002
+_DD_LOG_G = math.log(DD_GAMMA)
+# Bins needed to cover 1..2^63 at this γ — the hard per-sign state bound
+# for an overflow bucket, independent of max_bins and of the data.
+DD_MAX_BINS = int(math.ceil(math.log(2.0**63) / _DD_LOG_G))
+# Largest exactly-representable-in-double long below 2^63, used to clamp
+# the top bin's representative so the double→long cast never overflows
+# under ANSI arithmetic.
+_LONG_CLAMP = 9.2e18
+
+
+def dd_quantize(v: Column) -> Column:
+    """DDSketch-style log quantizer as a pure Column expression.
+
+    bin(v) = ceil(log_γ |v|), representative = round(γ^(bin-1/2)) with
+    the sign restored; 0 → 0.  round (not floor) makes small integers
+    (|v| ≲ 1/(γ-1) ≈ 500) their own representative and re-quantization
+    idempotent.  Deterministic, mergeable, no state.
+    """
+    mag = F.abs(v.cast("double"))
+    i = F.ceil(F.log(mag) / F.lit(_DD_LOG_G)).cast("double")
+    rep = F.least(
+        F.round(F.pow(F.lit(DD_GAMMA), i) / F.lit(math.sqrt(DD_GAMMA)), 0),
+        F.lit(_LONG_CLAMP),
+    ).cast("long")
+    return (
+        F.when(v > 0, rep)
+        .when(v < 0, -rep)
+        .otherwise(F.lit(0).cast("long"))
+    )
 
 
 def _percentile_aggs() -> list[Column]:
@@ -86,47 +148,64 @@ def _percentile_aggs() -> list[Column]:
 
 
 def _finalize_from_hist_rows(h: DataFrame, max_bins: int) -> DataFrame:
-    """(bucket_start, _v, _c, _e4, _e5) → one finished row per bucket.
+    """(bucket_start, _v, _c, _e4, _e5, _xmin, _xmax, _xsum) → one
+    finished row per bucket, as ONE lazy plan.
 
-    Buckets are split by distinct-value count BEFORE any per-bucket
-    ordered computation, so no stage is ever proportional to a hot
-    bucket's value domain:
-    - ≤ max_bins (the overwhelmingly common case): exact nearest-rank
-      percentiles via a bounded cumsum window + the histogram array.
-    - > max_bins: reference-parity approximate percentiles (the
-      reference itself is exact ≤10k samples / approximate above,
-      /root/reference/Cargo.toml:20-21) from t-digest state built
-      distributed — partial digests per (bucket, salt), ≤ _OVERFLOW_SALTS
-      merged per bucket.
-    The compressed relation ``h`` is consumed by three subplans (sizes,
-    exact branch, overflow branch).  Catalyst does NOT reuse the
-    exchange across them, and a lazy persist() races — AQE launches the
-    branch stages concurrently and tasks recompute uncached partitions
-    (measured 2.2× wall).  An EAGER localCheckpoint materializes ``h``
-    exactly once and truncates lineage (measured +13% vs the unsplit
-    exact plan, vs +117% for lazy persist); the blocks are freed when
-    the plan is garbage-collected.  Consequence: building this plan
-    runs the upstream job — benchmark harnesses must construct inside
-    the timed region.  The overflow key list is tiny by construction
-    and broadcast.
+    Input contract: one row per (bucket_start, _v); the _x* columns are
+    the mergeable exact carries (min/max/sum-of-products contributions —
+    ``_v``/``_v``/``_v·_c`` at the leaf, a source bucket's exact
+    lat_min/lat_max/lat_sum in a cascade).
+
+    Buckets whose distinct-value count exceeds ``max_bins`` have their
+    values log-quantized (see ``dd_quantize``) BEFORE any per-bucket
+    ordered computation, so the cumsum window and the collect_list are
+    bounded by max(max_bins, 2·DD_MAX_BINS+1) rows/entries per bucket.
+    The distinct-count window itself runs over the bucket's compressed
+    (value, count) rows — O(distinct), spillable, and the only stage
+    proportional to a hot bucket's value domain.
+
+    Everything is built-in expressions inside two exchanges; building
+    the returned DataFrame runs NO job (plan-pinned by
+    tests/test_plans.py::test_hist_plan_build_runs_no_jobs).
     """
-    h = h.localCheckpoint(eager=True)
-    sizes = h.groupBy("bucket_start").agg(F.count(F.lit(1)).alias("_nd"))
-    of_keys = sizes.where(F.col("_nd") > max_bins).select("bucket_start")
-    # ``h`` is already materialized, so deciding overflow here costs one
-    # fast aggregate over cached blocks — and the common (no-overflow)
-    # case then keeps the ORIGINAL single-branch plan: no sizes scan, no
-    # anti-join, no empty overflow stages in the executed query.
-    if of_keys.isEmpty():
-        return _finalize_exact(h)
-    normal = h.join(F.broadcast(of_keys), "bucket_start", "left_anti")
-    overflow = h.join(F.broadcast(of_keys), "bucket_start")
-    return _finalize_exact(normal).unionByName(_finalize_overflow(overflow))
+    w = Window.partitionBy("bucket_start")
+    h2 = h.withColumn("_nd", F.count(F.lit(1)).over(w))
+    qv = (
+        F.when(F.col("_nd") <= F.lit(max_bins), F.col("_v"))
+        .otherwise(dd_quantize(F.col("_v")))
+    )
+    # Re-group on the (possibly quantized) value.  Data is already
+    # hash-partitioned by bucket_start from the window exchange, which
+    # co-locates (bucket_start, _v) — no further exchange.
+    h3 = (
+        h2.select(
+            "bucket_start",
+            qv.alias("_v"),
+            "_c",
+            "_e4",
+            "_e5",
+            "_xmin",
+            "_xmax",
+            "_xsum",
+        )
+        .groupBy("bucket_start", "_v")
+        .agg(
+            F.sum("_c").alias("_c"),
+            F.sum("_e4").alias("_e4"),
+            F.sum("_e5").alias("_e5"),
+            F.min("_xmin").alias("_xmin"),
+            F.max("_xmax").alias("_xmax"),
+            F.sum("_xsum").alias("_xsum"),
+        )
+    )
+    return _finalize_exact(h3)
 
 
 def _finalize_exact(h: DataFrame) -> DataFrame:
-    """Exact finalize for buckets whose distinct-value count is bounded
-    by max_bins: the cumsum window task is ≤ max_bins rows per bucket."""
+    """Finalize hist rows whose per-bucket row count is already bounded:
+    the cumsum window task is ≤ max(max_bins, 2·DD_MAX_BINS+1) rows per
+    bucket.  Scalars come from the exact carries, percentiles from the
+    (possibly quantized) values."""
     w_cum = (
         Window.partitionBy("bucket_start")
         .orderBy("_v")
@@ -141,9 +220,9 @@ def _finalize_exact(h: DataFrame) -> DataFrame:
     )
     agg = h2.groupBy("bucket_start").agg(
         F.sum("_c").alias("turn_count"),
-        F.min("_v").alias("lat_min_ms"),
-        F.max("_v").alias("lat_max_ms"),
-        F.sum(F.col("_v") * F.col("_c")).alias("lat_sum_ms"),
+        F.min("_xmin").alias("lat_min_ms"),
+        F.max("_xmax").alias("lat_max_ms"),
+        F.sum("_xsum").alias("lat_sum_ms"),
         *_percentile_aggs(),
         F.sum("_e4").alias("err4xx_cnt"),
         F.sum("_e5").alias("err5xx_cnt"),
@@ -160,84 +239,6 @@ def _finalize_exact(h: DataFrame) -> DataFrame:
         }
     )
     return agg.select(*[f.name for f in HIST_ROLLUP_FIELDS])
-
-
-# Salt shards per overflow bucket: bounds every digest-build task to
-# ~1/64 of a hot bucket's value domain while keeping the per-bucket
-# merge fan-in trivially small.
-_OVERFLOW_SALTS = 64
-
-
-def _finalize_overflow(of: DataFrame) -> DataFrame:
-    """Distributed digest finalize for >max_bins buckets.  Scalar
-    metrics (count/min/max/sum/avg/error rates) stay EXACT via plain
-    codegen aggregates (no order needed); only p50/p90/p99 come from the
-    merged t-digest."""
-    scalars = of.groupBy("bucket_start").agg(
-        F.sum("_c").alias("turn_count"),
-        F.min("_v").alias("lat_min_ms"),
-        F.max("_v").alias("lat_max_ms"),
-        F.sum(F.col("_v") * F.col("_c")).alias("lat_sum_ms"),
-        F.sum("_e4").alias("err4xx_cnt"),
-        F.sum("_e5").alias("err5xx_cnt"),
-    )
-    salted = of.withColumn(
-        "_salt", F.pmod(F.hash("_v"), F.lit(_OVERFLOW_SALTS))
-    )
-    partials = salted.groupBy("bucket_start", "_salt").applyInPandas(
-        _partial_td, "bucket_start timestamp, td binary"
-    )
-    digests = partials.groupBy("bucket_start").agg(
-        _merge_td_udf(F.collect_list("td")).alias("tdigest")
-    )
-    qcols = _td_quantiles_udf(F.col("tdigest"))
-    out = scalars.join(digests, "bucket_start").withColumns(
-        {
-            "lat_avg_ms": F.floor(F.col("lat_sum_ms") / F.col("turn_count")).cast(
-                "long"
-            ),
-            "err4xx_rate": F.round(F.col("err4xx_cnt") / F.col("turn_count"), 4),
-            "err5xx_rate": F.round(F.col("err5xx_cnt") / F.col("turn_count"), 4),
-            "hist": F.lit(None).cast(HIST_TYPE),
-            "_qs": qcols,
-        }
-    )
-    for i, name in enumerate(_QS):
-        out = out.withColumn(name, F.col("_qs").getItem(i))
-    return out.select(*[f.name for f in HIST_ROLLUP_FIELDS])
-
-
-def _partial_td(pdf: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "bucket_start": [pdf["bucket_start"].iloc[0]],
-            "td": [
-                sketches._td_from(
-                    pdf["_v"].to_numpy(dtype=np.float64),
-                    pdf["_c"].to_numpy(dtype=np.float64),
-                )
-            ],
-        }
-    )
-
-
-@F.pandas_udf(T.BinaryType())
-def _merge_td_udf(blob_lists: pd.Series) -> pd.Series:
-    return pd.Series(
-        [sketches.merge(list(blobs)) for blobs in blob_lists]
-    )
-
-
-@F.pandas_udf(T.ArrayType(T.LongType()))
-def _td_quantiles_udf(blobs: pd.Series) -> pd.Series:
-    out = []
-    for b in blobs:
-        if b is None:
-            out.append(None)
-            continue
-        qs = sketches.quantiles(b, list(_QS.values()))
-        out.append([None if q is None else int(np.floor(q)) for q in qs])
-    return pd.Series(out)
 
 
 def narrow_for_rollup(transcripts: DataFrame) -> DataFrame:
@@ -282,6 +283,13 @@ def hist_rollup(
             F.sum("_e4").alias("_e4"),
             F.sum("_e5").alias("_e5"),
         )
+        .withColumns(
+            {
+                "_xmin": F.col("_v"),
+                "_xmax": F.col("_v"),
+                "_xsum": F.col("_v") * F.col("_c"),
+            }
+        )
     )
     out = _finalize_from_hist_rows(h, max_bins)
     return out.withColumn("tier", F.lit(tier)).select(
@@ -291,116 +299,55 @@ def hist_rollup(
 
 def hist_cascade(rollup_df: DataFrame, to_tier: str) -> DataFrame:
     """Re-aggregate a finer hist-rollup tier into ``to_tier`` without
-    touching raw data.  Histogram rows re-derive percentiles exactly;
-    error counters fold in the same pass (attached to each bucket's
-    first hist element so the per-value relation stays self-contained).
-    Buckets carrying t-digests merge through the Python path and union
-    in (rare by construction).
+    touching raw data — one lazy plan, no driver actions.
+
+    Every input row must carry a non-null ``hist`` (the invariant this
+    engine maintains since round 3; binary-sketch rows belong to
+    sketch_rollup/retention).  Exact scalars ride along the exploded
+    relation attached to each source bucket's first hist element
+    (position 0), exactly like the error counters, so a quantized
+    source bucket still cascades with exact count/min/max/sum/avg.
+    Percentiles re-derive from the merged (value, count) rows —
+    exact when every contributing bucket was exact, within the
+    documented γ bound otherwise.
     """
     t = TIERS[to_tier]
     target = F.date_trunc(t.duckdb_trunc, F.col("bucket_start"))
-    # Checkpoint the TIER relation (calendar-bounded, far smaller than
-    # its exploded per-value form): its three consumers below (hist
-    # branch, upper-bound probe, t-digest branch isEmpty) then read
-    # blocks instead of re-running the upstream rollup each.
-    src = rollup_df.withColumn("_target", target).localCheckpoint(eager=True)
-
-    with_hist = src.where(F.col("hist").isNotNull())
-    h = with_hist.select(
-        F.col("_target").alias("bucket_start"),
-        F.posexplode("hist").alias("_pos", "_e"),
-        F.col("err4xx_cnt"),
-        F.col("err5xx_cnt"),
-    ).select(
-        "bucket_start",
-        F.col("_e.v").alias("_v"),
-        F.col("_e.c").alias("_c"),
-        # attribute the source bucket's error counters once (pos 0)
-        F.when(F.col("_pos") == 0, F.col("err4xx_cnt")).otherwise(F.lit(0)).alias("_e4"),
-        F.when(F.col("_pos") == 0, F.col("err5xx_cnt")).otherwise(F.lit(0)).alias("_e5"),
-    )
-    # collapse duplicate values across source buckets before finalizing
-    h = h.groupBy("bucket_start", "_v").agg(
-        F.sum("_c").alias("_c"),
-        F.sum("_e4").alias("_e4"),
-        F.sum("_e5").alias("_e5"),
-    )
-    # Overflow upper bound WITHOUT materializing the exploded relation:
-    # a target bucket's distinct-value count ≤ the sum of its source
-    # hists' bin counts — computable from the checkpointed tier rows.
-    # Under the bound, the whole explode→compress→finalize runs as ONE
-    # lazy exact plan (no second checkpoint, no probe job).
-    ub_row = (
-        with_hist.groupBy("_target")
-        .agg(F.sum(F.size("hist")).alias("_ub"))
-        .agg(F.max("_ub"))
-        .first()
-    )
-    ub = ub_row[0] if ub_row and ub_row[0] is not None else 0
-    if ub <= sketches.HIST_MAX_BINS:
-        out = _finalize_exact(h)
-    else:
-        out = _finalize_from_hist_rows(h, max_bins=sketches.HIST_MAX_BINS)
-
-    td_src = src.where(F.col("hist").isNull() & F.col("tdigest").isNotNull())
-    if not td_src.isEmpty():
-        from .retention import merge_rollup_rows  # binary-sketch merge path
-
-        td_part = merge_rollup_rows(
-            td_src.drop("tier")
-            .withColumnRenamed("tdigest", "sketch")
-            .drop("hist"),
-            F.col("_target"),
-        ).withColumnRenamed("sketch", "tdigest")
-        td_part = td_part.withColumn("hist", F.lit(None).cast(HIST_TYPE)).select(
-            *[f.name for f in HIST_ROLLUP_FIELDS]
+    first = F.col("_pos") == 0
+    h = (
+        rollup_df.select(
+            target.alias("bucket_start"),
+            F.posexplode("hist").alias("_pos", "_e"),
+            "err4xx_cnt",
+            "err5xx_cnt",
+            "lat_min_ms",
+            "lat_max_ms",
+            "lat_sum_ms",
         )
-        # NOTE: a target bucket fed by BOTH hist and t-digest sources is
-        # merged by promoting the hist side into the t-digest (union +
-        # re-merge); handled by merge_mixed below.
-        out = _merge_mixed(out, td_part)
+        .select(
+            "bucket_start",
+            F.col("_e.v").alias("_v"),
+            F.col("_e.c").alias("_c"),
+            # attribute the source bucket's exact carries once (pos 0)
+            F.when(first, F.col("err4xx_cnt")).otherwise(F.lit(0)).alias("_e4"),
+            F.when(first, F.col("err5xx_cnt")).otherwise(F.lit(0)).alias("_e5"),
+            F.when(first, F.col("lat_min_ms")).alias("_xmin"),
+            F.when(first, F.col("lat_max_ms")).alias("_xmax"),
+            F.when(first, F.col("lat_sum_ms")).otherwise(F.lit(0)).alias("_xsum"),
+        )
+        # collapse duplicate values across source buckets BEFORE the
+        # distinct-count window (its count must be over distinct values)
+        .groupBy("bucket_start", "_v")
+        .agg(
+            F.sum("_c").alias("_c"),
+            F.sum("_e4").alias("_e4"),
+            F.sum("_e5").alias("_e5"),
+            F.min("_xmin").alias("_xmin"),
+            F.max("_xmax").alias("_xmax"),
+            F.sum("_xsum").alias("_xsum"),
+        )
+    )
+    out = _finalize_from_hist_rows(h, max_bins=sketches.HIST_MAX_BINS)
     return out.withColumn("tier", F.lit(to_tier)).select(
         "tier", *[f.name for f in HIST_ROLLUP_FIELDS]
     )
-
-
-def _merge_mixed(hist_part: DataFrame, td_part: DataFrame) -> DataFrame:
-    """Union the two cascade halves; buckets present in both collapse
-    via the binary-sketch merge (hist → sketch promotion)."""
-    both = hist_part.unionByName(td_part)
-    dup_keys = (
-        both.groupBy("bucket_start")
-        .count()
-        .where("count > 1")
-        .select("bucket_start")
-    )
-    if dup_keys.isEmpty():
-        return both
-    from .retention import merge_rollup_rows
-
-    clean_part = both.join(F.broadcast(dup_keys), "bucket_start", "left_anti")
-    dup_rows = both.join(F.broadcast(dup_keys), "bucket_start")
-    promoted = dup_rows.withColumn(
-        "sketch",
-        F.coalesce(F.col("tdigest"), _hist_to_sketch_udf(F.col("hist"))),
-    ).drop("hist", "tdigest")
-    merged = merge_rollup_rows(promoted.drop("tier"), F.col("bucket_start"))
-    merged = (
-        merged.withColumnRenamed("sketch", "tdigest")
-        .withColumn("hist", F.lit(None).cast(HIST_TYPE))
-        .select(*[f.name for f in HIST_ROLLUP_FIELDS])
-    )
-    return clean_part.unionByName(merged)
-
-
-@F.pandas_udf(T.BinaryType())
-def _hist_to_sketch_udf(hists: pd.Series) -> pd.Series:
-    out = []
-    for h in hists:
-        if h is None:
-            out.append(None)
-            continue
-        vals = np.array([e["v"] for e in h], dtype=np.int64)
-        cnts = np.array([e["c"] for e in h], dtype=np.int64)
-        out.append(sketches._pack(sketches._MAGIC_HIST, vals, cnts))
-    return pd.Series(out)

@@ -200,13 +200,23 @@ class IncrementalRollup:
             casc.write.mode("overwrite").parquet(self.rollup_path(version, ct))
             prev_tier = spark.read.parquet(self.rollup_path(version, ct))
         new_state.write.mode("overwrite").parquet(self.state_path(version))
+        # Commit metrics from the just-written parquet FOOTERS (pyarrow
+        # metadata read, no Spark job) — the write itself already
+        # materialized the row counts; re-running count() actions here
+        # cost two extra jobs per refresh (round-2 verdict item 7).
+        import pyarrow.dataset as pds
+
         new_ck = {
             "snapshot_id": current,
             "version": version,
             "metrics": {
                 "refreshed_from_snapshot": ck["snapshot_id"],
-                "buckets_total": result.count(),
-                "convs_tracked": new_state.count(),
+                "buckets_total": pds.dataset(
+                    self.rollup_path(version), format="parquet"
+                ).count_rows(),
+                "convs_tracked": pds.dataset(
+                    self.state_path(version), format="parquet"
+                ).count_rows(),
             },
         }
         tmp = self._ckpt_path() + ".tmp"

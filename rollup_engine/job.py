@@ -78,15 +78,18 @@ def run_compat(spark, args):
     from .render import RollupResult
     from .rollup import global_rollup
 
-    base = pairs_as_transcript(read_pairs(spark, args.logs))
-    if args.prometheus_listen:
-        # pairing is now-independent: parse/pair once, cache, re-filter
-        # + re-aggregate per scrape (the reference re-runs the whole
-        # pipeline per scrape — http_handler/mod.rs:16-29)
-        base = base.persist()
+    def build_base():
+        return pairs_as_transcript(read_pairs(spark, args.logs))
+
+    base = None if args.prometheus_listen else build_base()
 
     def compute(now) -> RollupResult:
-        t = base
+        # Prometheus mode re-builds the source per scrape so the file
+        # listing + sizes are re-snapshotted — lines appended to a live
+        # request.log between scrapes appear, exactly like the reference
+        # re-running its whole pipeline per scrape
+        # (http_handler/mod.rs run(&args)).  One-shot mode reads once.
+        t = build_base() if base is None else base
         if args.include_terms or args.exclude_terms or args.time_filter_minutes:
             t = t.where(
                 flt.conditions(

@@ -99,6 +99,40 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(e, qv, k=10, n_centroids=16, nprobe=4)
 
 
+def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-LSH-index path (round-3): build + persist the
+    signature table partitioned by sig, then answer the SAME query as
+    ann_lsh via a partition-pruned read + re-rank.  Shares ann_lsh's
+    DuckDB oracle — the index must change the plan, never the result."""
+    import os
+
+    from . import ann_index
+    from .queries_pipeline import _workdir
+
+    e = _embs(spark, sf_dir)
+    qv = [float(x) for x in e.where("vec_id = 0").first()["embedding"]]
+    path = os.path.join(_workdir("annlsh", sf_dir), "idx")
+    ann_index.write_lsh_index(e, path, nbits=12, seed=42)
+    return ann_index.lsh_topk_indexed(spark, path, qv, k=10, hamming_radius=4)
+
+
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-IVF-index path (round-3): centroid assignment
+    persisted as the cid partition column (smallest-id quantizer so the
+    ann_ivf DuckDB oracle applies verbatim; the data-adaptive k-means
+    quantizer is pinned by tests/test_ann_index.py's recall test)."""
+    import os
+
+    from . import ann_index
+    from .queries_pipeline import _workdir
+
+    e = _embs(spark, sf_dir)
+    qv = [float(x) for x in e.where("vec_id = 0").first()["embedding"]]
+    path = os.path.join(_workdir("annivf", sf_dir), "idx")
+    ann_index.write_ivf_index(e, path, n_centroids=16, quantizer="smallest_id")
+    return ann_index.ivf_topk_indexed(spark, path, qv, k=10, nprobe=4)
+
+
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets.  Oracle is the
     EXACT all-pairs cosine at the same threshold — falsifiable in the
@@ -155,6 +189,8 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_lsh_indexed": q_ann_lsh_indexed,
+    "ann_ivf_indexed": q_ann_ivf_indexed,
     "embedding_pairs": q_embedding_pairs,
     "embedding_pairs_exact": q_embedding_pairs_exact,
     "quality_filter": q_quality_filter,
@@ -420,6 +456,10 @@ DATA_ORACLES: dict[str, str] = {
     "dedup_simhash": _simhash_oracle_sql(max_hamming=6),
     "ann_lsh": _ann_lsh_oracle_sql(nbits=12, hamming_radius=4, k=10),
     "ann_ivf": _ann_ivf_oracle_sql(n_centroids=16, nprobe=4, k=10),
+    # the indexed paths answer the SAME query through a persisted,
+    # partition-pruned index — identical oracles by construction
+    "ann_lsh_indexed": _ann_lsh_oracle_sql(nbits=12, hamming_radius=4, k=10),
+    "ann_ivf_indexed": _ann_ivf_oracle_sql(n_centroids=16, nprobe=4, k=10),
     # embedding_pairs: exact all-pairs oracle — at threshold 0.9 the
     # LSH signature-collision recall is ~1, so the sets agree (and at
     # sf0.01 ground truth is 0 pairs, making the gate precision-only).

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,6 +56,10 @@ _STATE = T.StructType(
 def _delta_state_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    """Vectorized per-conversation delta extraction (no per-row Python
+    loop — round-2 verdict item 4): sort by turn_idx, drop re-delivered
+    / duplicate turn indexes, then delta = np.diff over the micros
+    column with the stored state row prepended as element 0."""
     (conv_id,) = key
     if state.exists:
         last_idx, last_us = state.get
@@ -64,26 +69,29 @@ def _delta_state_fn(
     if not batches:
         return
     pdf = pd.concat(batches).sort_values("turn_idx", kind="stable")
-    ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
-    out = []
-    for idx, us, tool, ts in zip(
-        pdf["turn_idx"], ts_us, pdf["tool"], pdf["ts"]
-    ):
-        if last_idx is not None and idx > last_idx:
-            out.append(
-                {
-                    "conv_id": conv_id,
-                    "turn_idx": int(idx),
-                    "ts": ts,
-                    "tool": tool,
-                    "delta_ms": (us - last_us) // 1000,
-                }
-            )
-        if last_idx is None or idx > last_idx:
-            last_idx, last_us = int(idx), int(us)
-    state.update((last_idx, last_us))
-    if out:
-        yield pd.DataFrame(out)
+    # keep the first occurrence per turn_idx (matches the old loop: a
+    # repeated idx neither emits nor advances state) and drop anything
+    # at or below the checkpointed index (at-least-once re-delivery)
+    pdf = pdf.drop_duplicates(subset=["turn_idx"], keep="first")
+    if last_idx is not None:
+        pdf = pdf[pdf["turn_idx"] > last_idx]
+    if pdf.empty:
+        return
+    ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    prev = np.empty_like(ts_us)
+    prev[1:] = ts_us[:-1]
+    emit = np.ones(len(ts_us), dtype=bool)
+    if last_us is not None:
+        prev[0] = last_us
+    else:
+        prev[0] = 0
+        emit[0] = False  # a conversation's first-ever turn has no delta
+    out = pdf.assign(
+        conv_id=conv_id, delta_ms=(ts_us - prev) // 1000
+    )[["conv_id", "turn_idx", "ts", "tool", "delta_ms"]][emit]
+    state.update((int(pdf["turn_idx"].iloc[-1]), int(ts_us[-1])))
+    if not out.empty:
+        yield out
 
 
 def stream_deltas(turns: DataFrame) -> DataFrame:

@@ -245,6 +245,34 @@ def test_cli_prometheus_listen(spark, logs):
         server.shutdown()
 
 
+def test_prometheus_scrape_sees_appended_lines(spark, logs, tmp_path):
+    """The reference re-runs the whole pipeline per scrape
+    (http_handler/mod.rs run(&args)), so lines appended to a live
+    request.log between scrapes MUST show up — the round-2 parse-once
+    cache dropped them (ADVICE r2)."""
+    from urllib.request import urlopen
+
+    from rollup_engine.job import build_parser, run_compat
+
+    live = tmp_path / "live.log"
+    live.write_text(SIMPLE_1)
+    args = build_parser().parse_args(
+        ["--logs", str(live), "--prometheus-listen", "127.0.0.1:0", "-q"]
+    )
+    server = run_compat(spark, args)
+    try:
+        port = server.server_address[1]
+        url = f"http://127.0.0.1:{port}/metrics"
+        assert "request_count 2" in urlopen(url).read().decode()
+        with open(live, "a") as f:
+            f.write(SIMPLE_2)
+        body = urlopen(url).read().decode()
+        assert "request_count 4" in body
+        assert "request_time_max 800" in body
+    finally:
+        server.shutdown()
+
+
 def test_stdin_source(spark, monkeypatch):
     """S3: '--logs -' reads request.log lines from stdin
     (/root/reference/src/main.rs:81-90)."""

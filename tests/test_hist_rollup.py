@@ -1,7 +1,10 @@
 """All-JVM histogram rollup: parity with the oracle-verified SQL rollup,
-cascade exactness, and the t-digest overflow contract."""
+cascade exactness, and the log-quantized (DDSketch-style) overflow
+contract — bounded state, exact scalars, ≤(γ-1)/2 percentile error."""
 
 from __future__ import annotations
+
+import math
 
 import pandas as pd
 import pytest
@@ -48,18 +51,37 @@ def test_hist_cascade_exact(spark):
     )
 
 
-def test_overflow_builds_tdigest(spark):
+SCALARS = [
+    "turn_count", "lat_min_ms", "lat_max_ms", "lat_avg_ms", "lat_sum_ms",
+    "err4xx_rate", "err5xx_rate",
+]
+
+
+def test_overflow_quantizes_hist(spark):
     """max_bins=4 forces every bucket with >4 distinct deltas onto the
-    distributed t-digest path; scalar metrics stay exact, and at this
-    row count the digest centroids are still singletons so percentiles
-    also match exactly; hist is null, tdigest present."""
+    log-quantized histogram path: scalar metrics stay EXACT (mergeable
+    carries), percentiles land within the γ bound, and the state stays
+    a non-null hist bounded by the fixed-γ bin count (tdigest unused)."""
+    from rollup_engine.hist_rollup import DD_GAMMA, DD_MAX_BINS
+
     d = _deltas(spark)
     exact = hist_rollup(d, "day")
     tiny = hist_rollup(d, "day", max_bins=4)
-    pd.testing.assert_frame_equal(_pdf(exact), _pdf(tiny), check_dtype=False)
+    pd.testing.assert_frame_equal(
+        _pdf(exact, SCALARS), _pdf(tiny, SCALARS), check_dtype=False
+    )
+    pcols = ["lat_p50_ms", "lat_p90_ms", "lat_p99_ms"]
+    a, b = _pdf(tiny, pcols), _pdf(exact, pcols)
+    rel = ((a - b).abs() / b.clip(lower=1)).to_numpy().max()
+    assert rel <= (DD_GAMMA - 1), f"quantized percentile off by {rel}"
     big = tiny.where("turn_count > 4").collect()
     assert big, "expected at least one overflowing day bucket"
-    assert all(r.hist is None and r.tdigest is not None for r in big)
+    assert all(
+        r.hist is not None
+        and len(r.hist) <= 2 * DD_MAX_BINS + 1
+        and r.tdigest is None
+        for r in big
+    )
 
 
 def test_narrow_projection_parity(spark):
@@ -74,15 +96,17 @@ def test_narrow_projection_parity(spark):
     pd.testing.assert_frame_equal(_pdf(full), _pdf(narrow), check_dtype=False)
 
 
-def test_hot_bucket_overflow_is_distributed(spark):
+def test_hot_bucket_overflow_is_bounded(spark):
     """The scale-killer fixture (VERDICT r1): ONE bucket, 10⁶ distinct
-    delta values.  The finalize must not funnel the bucket's whole value
-    domain through one sort task or one collect_list row — the overflow
-    path builds salted partial t-digests (FlatMapGroupsInPandas in the
-    plan), keeps scalars exact, and bounds percentile error."""
+    delta values.  The finalize must bound the per-bucket ordered state:
+    values log-quantize into ≤DD_MAX_BINS bins (here ~6.9k for the 10⁶
+    domain) BEFORE the cumsum window / collect_list, scalars stay exact
+    via the mergeable carries, percentile error stays within the γ
+    bound — and the whole plan is JVM expressions (no Python stage, no
+    lineage truncation)."""
     from pyspark.sql import functions as F
 
-    from rollup_engine.hist_rollup import _finalize_from_hist_rows
+    from rollup_engine.hist_rollup import DD_GAMMA, _finalize_from_hist_rows
 
     n = 1_000_000
     h = (
@@ -94,26 +118,37 @@ def test_hot_bucket_overflow_is_distributed(spark):
             F.lit(0).alias("_e4"),
             F.lit(0).alias("_e5"),
         )
+        .withColumns(
+            {
+                "_xmin": F.col("_v"),
+                "_xmax": F.col("_v"),
+                "_xsum": F.col("_v") * F.col("_c"),
+            }
+        )
         .repartition(32)
     )
     out = _finalize_from_hist_rows(h, max_bins=100_000)
-    assert "FlatMapGroupsInPandas" in out._jdf.queryExecution().executedPlan().toString()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan  # no Python on this path
     row = out.collect()[0]
     assert row.turn_count == n
     assert (row.lat_min_ms, row.lat_max_ms) == (1, n)
     assert row.lat_sum_ms == n * (n + 1) // 2
-    assert row.hist is None and row.tdigest is not None
-    # t-digest nearest-rank error bound: well within 1% at the median,
-    # tighter in the tails (k1 scale)
-    assert abs(row.lat_p50_ms - n // 2) < n * 0.01
-    assert abs(row.lat_p90_ms - 0.9 * n) < n * 0.01
-    assert abs(row.lat_p99_ms - 0.99 * n) < n * 0.005
+    assert row.tdigest is None
+    assert row.hist is not None
+    # the 1..10⁶ domain needs ln(10⁶)/ln(γ) ≈ 6.9k log bins
+    assert len(row.hist) <= math.ceil(math.log(n) / math.log(DD_GAMMA)) + 1
+    # fixed-γ quantizer bound: relative error ≤ (γ-1), far inside the
+    # old t-digest tolerances
+    assert abs(row.lat_p50_ms - n // 2) <= (DD_GAMMA - 1) * n
+    assert abs(row.lat_p90_ms - 0.9 * n) <= (DD_GAMMA - 1) * n
+    assert abs(row.lat_p99_ms - 0.99 * n) <= (DD_GAMMA - 1) * n
 
 
 def test_mixed_cascade_approximate(spark):
-    """Cascading a tier where some buckets degraded to t-digest still
-    produces a full result; counters exact, percentiles within t-digest
-    tolerance."""
+    """Cascading a tier where some buckets degraded to quantized
+    histograms still produces a full result; counters exact (mergeable
+    carries survive the cascade), percentiles within the γ bound."""
     d = _deltas(spark)
     hour_tiny = hist_rollup(d, "hour", max_bins=4)
     day_from_mixed = hist_cascade(hour_tiny, "day")
