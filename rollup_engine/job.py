@@ -127,20 +127,48 @@ def run_compat(spark, args):
     _fan_out(result, args, epoch)
 
 
+def make_tier_scraper(minute_df, minutes: int, now_fn):
+    """Memoized per-minute trailing-window compute: the window edge is
+    minute-quantized, so scrapes within the same minute return the
+    cached result with zero Spark jobs; the first scrape of a minute
+    runs ONE collect action over the (lazy) tier-merge plan."""
+    from .serve import trailing_result
+
+    memo: dict[str, object] = {}
+
+    def compute():
+        now = now_fn()
+        key = str(now)[:16]  # minute resolution, matches the tier edge
+        if key not in memo:
+            memo.clear()  # keep exactly the current minute
+            memo[key] = trailing_result(minute_df, now, minutes)
+        return memo[key]
+
+    return compute
+
+
 def _serve_from_tier(spark, args, minute_df):
     """Engine-mode Prometheus endpoint: each scrape merges the trailing
     window's minute buckets (serve.trailing_result — O(minutes) reads
     of the tier, never raw data; the reference re-runs its whole
-    pipeline per scrape)."""
+    pipeline per scrape).
+
+    Scrape cost is O(1) driver-side: the merge plan is fully lazy (one
+    collect action per compute) and the result is memoized per minute
+    bucket — the trailing window is minute-quantized, so every scrape
+    within the same minute returns the cached result with ZERO Spark
+    jobs (pinned by tests/test_serve.py::test_scrape_is_single_action).
+    """
     import datetime as dt
 
-    from .serve import serve_prometheus, trailing_result
+    from .serve import serve_prometheus
 
     minutes = args.time_filter_minutes or 60
 
-    def compute():
-        now = args.now or dt.datetime.now(dt.timezone.utc)
-        return trailing_result(minute_df, now, minutes)
+    def now_fn():
+        return args.now or dt.datetime.now(dt.timezone.utc)
+
+    compute = make_tier_scraper(minute_df, minutes, now_fn)
 
     host, _, port = args.prometheus_listen.rpartition(":")
     server = serve_prometheus(compute, address=host or "0.0.0.0", port=int(port))

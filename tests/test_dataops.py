@@ -262,3 +262,28 @@ def test_deterministic_sample_stable_across_partitioning(spark):
     # disjoint residue ranges under one salt → disjoint cuts
     lo = {r.doc_id for r in deterministic_sample(d, "doc_id", 10).collect()}
     assert lo <= kept1
+
+
+def test_cap_postings_degenerate_corpus_stress(spark):
+    """Skew stress (round-2 verdict item 8): 20k IDENTICAL docs — every
+    doc lands in the same (band, bucket) in ALL 16 bands, the classic
+    dedup skew killer (uncapped: C(20k,2)·16 ≈ 3.2e9 candidate rows).
+    The posting cap must bound candidates to C(cap,2) and keep wall
+    time flat; determinism: the lowest `cap` ids survive."""
+    import time
+
+    n, cap = 20_000, 50
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text appears everywhere again").alias(
+            "text"
+        ),
+    )
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, max_bucket=cap)
+    rows = pairs.collect()
+    wall = time.perf_counter() - t0
+    assert len(rows) == cap * (cap - 1) // 2  # all true dups, capped
+    ids = {r.id_a for r in rows} | {r.id_b for r in rows}
+    assert ids == set(range(cap))  # deterministic survivors
+    assert wall < 120, f"degenerate corpus took {wall:.1f}s"

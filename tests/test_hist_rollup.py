@@ -179,3 +179,40 @@ def test_pinned_vector_hist(spark):
         3, 37, 10, 100, 100,
     )
     assert [(e.v, e.c) for e in r.hist] == [(1, 1), (10, 1), (100, 1)]
+
+def test_dd_quantizer_properties(spark):
+    """Fixed-γ log quantizer invariants that the overflow contract rests
+    on: sign symmetry, zero fixed point, small integers exact (they are
+    their own representative, so low-latency distributions never blur),
+    relative error ≤ (γ-1) everywhere, and cascade stability — a
+    representative re-quantizes to (at worst) an adjacent representative
+    within the same relative bound."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rollup_engine.hist_rollup import DD_GAMMA, dd_quantize
+
+    rng = np.random.RandomState(11)
+    vals = (
+        [0]
+        + list(range(1, 401))
+        + [-v for v in range(1, 401, 7)]
+        + [10**k for k in range(3, 19)]
+        + [int(x) for x in rng.randint(401, 2**62, size=300)]
+    )
+    df = spark.createDataFrame([(int(v),) for v in vals], "v: long")
+    rows = (
+        df.select("v", dd_quantize(F.col("v")).alias("r"))
+        .withColumn("rr", dd_quantize(F.col("r")))
+        .collect()
+    )
+    a = DD_GAMMA - 1
+    for v, r, rr in [(x.v, x.r, x.rr) for x in rows]:
+        if v == 0:
+            assert r == 0 and rr == 0
+            continue
+        assert (r > 0) == (v > 0), (v, r)
+        if abs(v) <= 400:
+            assert r == v, f"small int not exact: {v} -> {r}"
+        assert abs(r - v) <= max(1, a * abs(v)), f"error bound: {v} -> {r}"
+        assert abs(rr - r) <= max(1, a * abs(r)), f"not stable: {r} -> {rr}"
