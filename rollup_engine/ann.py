@@ -264,6 +264,110 @@ def ivf_topk(
     )
 
 
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact batch kNN JOIN: top-k corpus neighbors for EVERY query row
+    (the batch retrieval op — per-example nearest neighbors for dedup
+    clustering, retrieval eval, hard-negative mining).
+
+    Scale shape: the query side is broadcast (bounded — thousands of
+    queries, not millions; shard the query set and union for more), the
+    N×|Q| scoring is pure map-side expression work, and the per-query
+    top-k runs as a row_number window whose ``rank ≤ k`` filter Spark
+    compiles to WindowGroupLimit — a PARTIAL top-k inside each map task
+    — so the one exchange carries only O(tasks × |Q| × k) rows, never
+    the scored relation (plan-pinned in tests/test_dataops.py).
+
+    Output: (query_id, vec_id, score, rank), rank 1..k per query; a
+    query vector present in the corpus matches itself at rank 1.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine(F.col("_v"), F.col("_qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.where(F.col("score").isNotNull() & ~F.isnan("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def knn_join_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nbits: int = 12,
+    hamming_radius: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate batch kNN join: corpus signatures equi-join the
+    queries' multiprobe signature sets (each query explodes into
+    Σ C(nbits, r≤radius) probe signatures — pure expressions over
+    driver-enumerated XOR masks), exact re-rank per query inside the
+    probed buckets.  Candidates shrink by ~probes/2^nbits; same scale
+    shape as knn_join afterwards (WindowGroupLimit partial top-k).
+    Equivalent to per-query ``rp_lsh_topk`` (Hamming ≤ radius probing),
+    batched."""
+    from itertools import combinations
+
+    dim = int(corpus.select(F.size(vec_col)).first()[0])
+    planes = _hyperplanes(dim, nbits, seed)
+    masks = [0]
+    for r in range(1, hamming_radius + 1):
+        for bits in combinations(range(nbits), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    v = F.col(vec_col).cast("array<double>")
+    c = corpus.select(
+        F.col(id_col), v.alias("_v"), rp_signature(v, planes).alias("sig")
+    )
+    # qsig computed ONCE per query in its own projection; the mask
+    # fan-out references the stored column (CollapseProject keeps
+    # multiply-referenced non-trivial expressions un-inlined, so the
+    # nbits×dim signature tree is not duplicated per mask)
+    qsigned = queries.select(
+        F.col(id_col).alias("query_id"),
+        v.alias("_qv"),
+        rp_signature(v, planes).alias("qsig"),
+    )
+    probes = qsigned.select(
+        "query_id",
+        "_qv",
+        F.explode(
+            F.array(*[F.col("qsig").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("sig"),
+    )
+    scored = c.join(F.broadcast(probes), "sig").select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine(F.col("_v"), F.col("_qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.where(F.col("score").isNotNull() & ~F.isnan("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def cosine_pairs_exact(
     df: DataFrame,
     threshold: float,

@@ -233,6 +233,12 @@ def minhash_lsh_pairs(
     # into interpreted eval (measured ~10s on 5k docs); K codegen'd
     # aggregates over the exploded (id, h) relation run in milliseconds
     # and partial-aggregate map-side like any hash agg.
+    # The shingle relation feeds four consumers (signature build, both
+    # verify sides, sizes).  Deliberately NOT persisted: AQE's runtime
+    # stage reuse already de-duplicates the identical shuffle subtrees,
+    # and a persist() barrier forces full materialization of the
+    # exploded relation where AQE otherwise pipelines it — measured 3×
+    # SLOWER with persist at sf0.1 (10.5 s vs 3.0 s, interleaved A/B).
     sh_rel, sizes = _shingle_relation(df, n, id_col, text_col)
     ex = sh_rel.select(
         "id", F.pmod(md5_long(F.col("sh")), F.lit(_MERSENNE31)).alias("h")

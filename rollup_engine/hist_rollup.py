@@ -336,7 +336,15 @@ def hist_cascade(rollup_df: DataFrame, to_tier: str) -> DataFrame:
             F.when(first, F.col("lat_sum_ms")).otherwise(F.lit(0)).alias("_xsum"),
         )
         # collapse duplicate values across source buckets BEFORE the
-        # distinct-count window (its count must be over distinct values)
+        # distinct-count window (its count must be over distinct values).
+        # This groupBy is a SECOND exchange on top of the finalize's
+        # window exchange — deliberate: its map-side combine compresses
+        # the exploded relation before any shuffle (a hot quantized
+        # bucket collapses ~source-bucket-count : 1, e.g. 60:1 for
+        # hour←minute), which beats the one-exchange alternative
+        # (repartition(bucket) then window) that would shuffle the
+        # exploded rows uncombined (measured equal at sf0.1; combine
+        # wins at scale).
         .groupBy("bucket_start", "_v")
         .agg(
             F.sum("_c").alias("_c"),

@@ -133,6 +133,26 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index.ivf_topk_indexed(spark, path, qv, k=10, nprobe=4)
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact batch kNN join (round-3): top-5 corpus neighbors for each
+    of the 8 smallest-id query vectors — per-query top-k runs as a
+    WindowGroupLimit partial top-k, never shuffling the scored
+    relation.  Oracle: DuckDB cross join + row_number window."""
+    e = _embs(spark, sf_dir)
+    return ann.knn_join(e, e.where("vec_id < 8"), k=5)
+
+
+def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate batch kNN join via multiprobe signature equi-join,
+    exact re-rank per query.  Oracle: the seeded hyperplanes embedded
+    as SQL literals, probe = bit_count(xor) ≤ radius (equivalent to the
+    Spark side's driver-enumerated XOR-mask explode)."""
+    e = _embs(spark, sf_dir)
+    return ann.knn_join_lsh(
+        e, e.where("vec_id < 8"), k=5, nbits=12, hamming_radius=4
+    )
+
+
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets.  Oracle is the
     EXACT all-pairs cosine at the same threshold — falsifiable in the
@@ -191,6 +211,8 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "ann_lsh_indexed": q_ann_lsh_indexed,
     "ann_ivf_indexed": q_ann_ivf_indexed,
+    "knn_join": q_knn_join,
+    "knn_join_lsh": q_knn_join_lsh,
     "embedding_pairs": q_embedding_pairs,
     "embedding_pairs_exact": q_embedding_pairs_exact,
     "quality_filter": q_quality_filter,
@@ -329,16 +351,20 @@ _COSINE_SQL = (
 )
 
 
-def _ann_lsh_oracle_sql(nbits: int = 12, hamming_radius: int = 4, k: int = 10) -> str:
-    import numpy as np
-
-    planes = ann._hyperplanes(64, nbits, seed=42)
+def _sig_expr_sql(nbits: int, seed: int = 42, dim: int = 64, vec: str = "ve") -> str:
+    """The Spark rp_signature as DuckDB SQL: the same seeded hyperplanes
+    embedded as array literals, one sign-bit CASE per plane."""
+    planes = ann._hyperplanes(dim, nbits, seed)
     terms = []
     for i, p in enumerate(planes):
         lit = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
-        dot = f"list_sum(list_transform(list_zip(ve, {lit}), x -> x[1] * x[2]))"
+        dot = f"list_sum(list_transform(list_zip({vec}, {lit}), x -> x[1] * x[2]))"
         terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
-    sig_expr = "\n         + ".join(terms)
+    return "\n         + ".join(terms)
+
+
+def _ann_lsh_oracle_sql(nbits: int = 12, hamming_radius: int = 4, k: int = 10) -> str:
+    sig_expr = _sig_expr_sql(nbits)
     cos = _COSINE_SQL.format(a="ve", b="qv")
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
@@ -351,6 +377,47 @@ def _ann_lsh_oracle_sql(nbits: int = 12, hamming_radius: int = 4, k: int = 10) -
     SELECT vec_id, round({cos}, 6) AS score
     FROM probed ORDER BY score DESC, vec_id ASC LIMIT {k}
     """
+
+
+def _knn_join_oracle_sql(n_queries: int = 8, k: int = 5) -> str:
+    cos = _COSINE_SQL.format(a="e.ve", b="q.qv")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < {n_queries}),
+    s AS (SELECT q.query_id, e.vec_id, round({cos}, 6) AS score FROM v e, q),
+    r AS (
+        SELECT query_id, vec_id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+               ) AS BIGINT) AS rank
+        FROM s
+    )
+    SELECT query_id, vec_id, score, rank FROM r WHERE rank <= {k}"""
+
+
+def _knn_join_lsh_oracle_sql(
+    n_queries: int = 8, k: int = 5, nbits: int = 12, hamming_radius: int = 4
+) -> str:
+    cos = _COSINE_SQL.format(a="s.ve", b="q.qv")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    sigs AS (SELECT vec_id, ve,
+                    CAST({_sig_expr_sql(nbits)} AS BIGINT) AS sig FROM v),
+    q AS (SELECT vec_id AS query_id, ve AS qv, sig AS qsig
+          FROM sigs WHERE vec_id < {n_queries}),
+    probed AS (
+        SELECT q.query_id, s.vec_id, round({cos}, 6) AS score
+        FROM sigs s, q
+        WHERE bit_count(xor(s.sig, q.qsig)) <= {hamming_radius}
+    ),
+    r AS (
+        SELECT query_id, vec_id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+               ) AS BIGINT) AS rank
+        FROM probed
+    )
+    SELECT query_id, vec_id, score, rank FROM r WHERE rank <= {k}"""
 
 
 def _ann_ivf_oracle_sql(
@@ -460,6 +527,10 @@ DATA_ORACLES: dict[str, str] = {
     # partition-pruned index — identical oracles by construction
     "ann_lsh_indexed": _ann_lsh_oracle_sql(nbits=12, hamming_radius=4, k=10),
     "ann_ivf_indexed": _ann_ivf_oracle_sql(n_centroids=16, nprobe=4, k=10),
+    "knn_join": _knn_join_oracle_sql(n_queries=8, k=5),
+    "knn_join_lsh": _knn_join_lsh_oracle_sql(
+        n_queries=8, k=5, nbits=12, hamming_radius=4
+    ),
     # embedding_pairs: exact all-pairs oracle — at threshold 0.9 the
     # LSH signature-collision recall is ~1, so the sets agree (and at
     # sf0.01 ground truth is 0 pairs, making the gate precision-only).
