@@ -1,0 +1,136 @@
+"""As-of (point-in-time) join and counter-rate — timeseries classics.
+
+The reference's only join is its request/response pair matcher, which
+SURVEY.md §2.3 analyzes as a 1:1 as-of pattern; this module provides the
+GENERAL operator: for every left row, attach the most recent right row
+at or before its timestamp, per key (configs active at event time,
+latest deploy marker, last heartbeat, point-in-time feature joins).
+
+Spark-first shape — NO join node at all: tag and union the two inputs,
+one hash exchange on the key, one ordered window, and
+``last(col, ignorenulls=True)`` carries the right side's values forward
+onto the left rows (the same LOCF kernel as gapfill.py).  Cost is a
+single shuffle of |L|+|R| rows regardless of match fan-out — the
+classic sort-merge as-of without the merge join's range-condition
+explosion (a naive ``left.ts >= right.ts`` theta-join is O(|L|·|R|)
+before per-key pruning; this is O((|L|+|R|) log) and AQE-skew-safe).
+
+Direction: ``backward`` (inclusive) — a right row exactly at left.ts
+matches, mirroring DuckDB/pandas ``ASOF JOIN`` defaults, which the
+driver gate uses as the oracle.
+
+``counter_increase`` is the PromQL-style ``increase()`` kernel: per-key
+deltas of a monotonic counter with reset detection (a decrease means
+the counter restarted, so the post-reset value IS the increase),
+expressed as a lag window — one exchange, codegen throughout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    right_tiebreak: str | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join.
+
+    Every column of ``right`` other than the keys and ``ts_col`` is
+    carried onto each left row from the latest right row with
+    ``right.ts ≤ left.ts`` in the same ``by`` group (NULLs when no such
+    row); the matched right timestamp arrives as ``{ts_col}_asof``.
+
+    ``right_tiebreak``: column ordering right rows that share an exact
+    (key, ts) — the greatest wins, deterministically.  Without it, give
+    the operator a right side that is unique per (key, ts) (pre-
+    aggregate) or accept partition-order nondeterminism among ties.
+
+    ``tolerance_seconds``: matches older than this are nulled out
+    (pandas ``merge_asof(tolerance=...)`` semantics).
+    """
+    by = list(by)
+    carry = [c for c in right.columns if c not in by and c != ts_col]
+    overlap = set(carry) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right payload columns collide with left: {sorted(overlap)} "
+            "(alias them before joining)"
+        )
+    matched_ts = f"{ts_col}_asof"
+
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in carry],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias(matched_ts),
+    )
+    r_tag = right.select(
+        *[
+            F.col(c) if c in by + [ts_col] else F.lit(None).cast(
+                left.schema[c].dataType
+            ).alias(c)
+            for c in left.columns
+        ],
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in carry],
+        F.col(ts_col).alias(matched_ts),
+    )
+    # order: ts, then right-before-left at equal ts (backward INCLUSIVE),
+    # then the caller's deterministic tie-break among equal right rows
+    order = [F.col(ts_col).asc(), F.col("_side").asc()]
+    if right_tiebreak is not None:
+        order.append(
+            F.when(F.col("_side") == 0, F.col(right_tiebreak)).asc_nulls_first()
+        )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    both = l_tag.unionByName(r_tag)
+    carried = {c: F.last(c, ignorenulls=True).over(w) for c in [*carry, matched_ts]}
+    out = both.withColumns(carried).where(F.col("_side") == 1).drop("_side")
+    if tolerance_seconds is not None:
+        stale = (
+            F.col(matched_ts).isNull()
+            | (
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                - F.unix_micros(F.col(matched_ts).cast("timestamp"))
+                > int(tolerance_seconds) * 1_000_000
+            )
+        )
+        out = out.withColumns(
+            {
+                c: F.when(stale, F.lit(None)).otherwise(F.col(c))
+                for c in [*carry, matched_ts]
+            }
+        )
+    return out
+
+
+def counter_increase(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    order_tiebreak: str | None = None,
+) -> Column:
+    """PromQL ``increase()`` kernel as a window Column: per-key delta of
+    a monotonic counter; a decrease means the counter reset, so the
+    post-reset value itself is the increase.  First sample of a key
+    contributes NULL (unknown history).  Attach with ``withColumn``."""
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak is not None:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(*list(by)).orderBy(*order)
+    prev = F.lag(value_col).over(w)
+    v = F.col(value_col)
+    return F.when(prev.isNull(), F.lit(None)).when(v >= prev, v - prev).otherwise(v)

@@ -320,9 +320,56 @@ def q_topk_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (round-3): each event gets the user's most
+    recent purchase at or before its timestamp — no join node, one
+    union + keyed window (asof.asof_join).  Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    from .asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.select("event_id", "user_id", "ts")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(left, purchases, by=["user_id"], ts_col="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style increase() with counter-reset detection (round-3):
+    per-user lag window over the value column, reset ⇒ post-reset value
+    is the increase; hourly totals.  Sum rounded to 4 dp on both sides
+    so double summation order cannot break the hash gate."""
+    from .asof import counter_increase
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    inc = counter_increase(
+        ev, "value", by=["user_id"], ts_col="ts", order_tiebreak="event_id"
+    )
+    return (
+        ev.withColumn("inc", inc)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_start"))
+        .agg(
+            F.round(F.sum("inc"), 4).alias("total_increase"),
+            F.count("inc").alias("samples"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_project": q_scan_project,
     "filter_terms": q_filter_terms,
+    "asof_join": q_asof_join,
+    "counter_rate": q_counter_rate,
     "filter_time": q_filter_time,
     "pair_deltas": q_pair_deltas,
     "rollup_minute": q_rollup_minute,
@@ -557,5 +604,34 @@ ORACLES["incremental_minute"] = f"""{_DELTAS_CTE}
     FROM d WHERE delta_ms IS NOT NULL
     GROUP BY 1
     """
+
+ORACLES["asof_join"] = """
+WITH p AS (
+    SELECT user_id, ts, max(value) AS purchase_value
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       p.ts AS purchase_ts, p.purchase_value
+FROM events e ASOF LEFT JOIN p
+    ON e.user_id = p.user_id AND e.ts >= p.ts"""
+
+ORACLES["counter_rate"] = """
+WITH d AS (
+    SELECT ts, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+    FROM events
+),
+i AS (
+    SELECT ts,
+           CASE WHEN prev IS NULL THEN NULL
+                WHEN value >= prev THEN value - prev
+                ELSE value END AS inc
+    FROM d
+)
+SELECT date_trunc('hour', ts) AS bucket_start,
+       round(sum(inc), 4) AS total_increase,
+       count(inc) AS samples
+FROM i GROUP BY 1"""
 
 ORACLES.update(DATA_ORACLES)

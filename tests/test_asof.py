@@ -1,0 +1,107 @@
+"""As-of join + counter-increase semantics: backward-inclusive match,
+deterministic ties, tolerance nulling, reset detection."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from rollup_engine.asof import asof_join, counter_increase
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _fixture(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01T00:00:00")),  # before any marker
+            (2, "a", _ts("2024-01-01T00:10:00")),  # exactly at marker 1
+            (3, "a", _ts("2024-01-01T00:25:00")),  # after marker 2
+            (4, "b", _ts("2024-01-01T00:30:00")),  # other key
+            (5, "c", _ts("2024-01-01T00:30:00")),  # key with no markers
+        ],
+        "event_id: long, user_id: string, ts: timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T00:10:00"), 10.0),
+            ("a", _ts("2024-01-01T00:20:00"), 20.0),
+            ("b", _ts("2024-01-01T00:05:00"), 5.0),
+        ],
+        "user_id: string, ts: timestamp, mark: double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    left, right = _fixture(spark)
+    rows = {
+        r.event_id: (r.mark, r.ts_asof)
+        for r in asof_join(left, right, by=["user_id"]).collect()
+    }
+    assert rows[1] == (None, None)                       # nothing before
+    assert rows[2][0] == 10.0                            # equal ts matches
+    assert rows[3] == (20.0, _ts("2024-01-01T00:20:00"))  # latest ≤ ts
+    assert rows[4][0] == 5.0                             # per-key isolation
+    assert rows[5] == (None, None)                       # keyless group
+
+
+def test_asof_tolerance(spark):
+    left, right = _fixture(spark)
+    rows = {
+        r.event_id: r.mark
+        for r in asof_join(
+            left, right, by=["user_id"], tolerance_seconds=300
+        ).collect()
+    }
+    assert rows[2] == 10.0          # 0 s old — kept
+    assert rows[3] == 20.0          # 5 min old — kept (boundary)
+    assert rows[4] is None          # 25 min old — nulled by tolerance
+
+
+def test_asof_tie_break_deterministic(spark):
+    """Two right rows at the same (key, ts): the greatest tiebreak value
+    wins, stable under repartitioning."""
+    left = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01T00:10:00"))],
+        "event_id: long, user_id: string, ts: timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01T00:10:00"), 7, 111.0),
+            ("a", _ts("2024-01-01T00:10:00"), 9, 222.0),
+            ("a", _ts("2024-01-01T00:10:00"), 8, 333.0),
+        ],
+        "user_id: string, ts: timestamp, seq: long, mark: double",
+    )
+    for parts in (1, 7):
+        out = asof_join(
+            left, right.repartition(parts), by=["user_id"], right_tiebreak="seq"
+        ).collect()
+        assert out[0].mark == 222.0  # seq 9 wins
+
+
+def test_asof_column_collision_raises(spark):
+    left, right = _fixture(spark)
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("mark", "event_id"), by=["user_id"])
+
+
+def test_counter_increase_reset_detection(spark):
+    """Pinned vector: 10→25→5→30 ⇒ increases null,15,5,25 (reset at 5:
+    post-reset value IS the increase, PromQL increase() semantics)."""
+    rows = [
+        ("a", _ts(f"2024-01-01T00:0{i}:00"), float(v))
+        for i, v in enumerate([10, 25, 5, 30])
+    ]
+    df = spark.createDataFrame(rows, "user_id: string, ts: timestamp, value: double")
+    inc = counter_increase(df, "value", by=["user_id"])
+    got = [
+        r.inc
+        for r in df.withColumn("inc", inc).orderBy("ts").collect()
+    ]
+    assert got == [None, 15.0, 5.0, 25.0]
