@@ -365,11 +365,37 @@ def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 viz downsampling (round-3): min/max/first/last per (user,
+    hour) — the lossless line-chart reduction, one map-combinable
+    groupBy.  first/last deterministic via the unique event_id
+    tie-break."""
+    from .tsops import m4_downsample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return m4_downsample(
+        ev, bucket="hour", by=["user_id"], order_tiebreak="event_id"
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (round-3): 30-min gap per user,
+    one row per session with count/start/end/duration."""
+    from .tsops import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(
+        ev, gap_seconds=1800, by=["user_id"], order_tiebreak="event_id"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_project": q_scan_project,
     "filter_terms": q_filter_terms,
     "asof_join": q_asof_join,
     "counter_rate": q_counter_rate,
+    "m4_downsample": q_m4_downsample,
+    "sessionize": q_sessionize,
     "filter_time": q_filter_time,
     "pair_deltas": q_pair_deltas,
     "rollup_minute": q_rollup_minute,
@@ -633,5 +659,50 @@ SELECT date_trunc('hour', ts) AS bucket_start,
        round(sum(inc), 4) AS total_increase,
        count(inc) AS samples
 FROM i GROUP BY 1"""
+
+ORACLES["m4_downsample"] = """
+WITH r AS (
+    SELECT user_id, date_trunc('hour', ts) AS b, value,
+           row_number() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn_f,
+           row_number() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_l
+    FROM events
+)
+SELECT user_id, b AS bucket_start,
+       min(value) AS v_min, max(value) AS v_max,
+       max(CASE WHEN rn_f = 1 THEN value END) AS v_first,
+       max(CASE WHEN rn_l = 1 THEN value END) AS v_last,
+       count(value) AS n
+FROM r GROUP BY 1, 2"""
+
+ORACLES["sessionize"] = """
+WITH o AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+f AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN prev IS NULL
+                     OR epoch_us(ts) - epoch_us(prev) > 1800 * 1000000
+                THEN 1 ELSE 0 END AS flag
+    FROM o
+),
+s AS (
+    SELECT user_id, ts,
+           CAST(SUM(flag) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM f
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_sec
+FROM s GROUP BY 1, 2"""
 
 ORACLES.update(DATA_ORACLES)
