@@ -83,9 +83,10 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
         # Plans are fully lazy (round 3: no eager checkpoint anywhere),
         # but the build still sits inside the timed region so the
         # measurement stays end-to-end comparable across rounds.
-        # Median of 3 timed reps with the spread reported: this VM's
+        # Min of 3 timed reps with the full spread reported: this VM's
         # wall clock jitters ±30%, so a single rep can misattribute
-        # noise to code (it did in round 2's +17% scare).
+        # noise to code (it did in round 2's +17% scare); min is the
+        # same achievable-time estimator the scaling legs use.
         _force(QUERIES[name](spark, sf_dir))  # untimed JIT/codegen warm-up
         reps = []
         for _ in range(3):
@@ -93,7 +94,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
             _force(QUERIES[name](spark, sf_dir))
             reps.append(round(time.perf_counter() - t0, 3))
         reps.sort()
-        times[name] = reps[1]  # median
+        times[name] = reps[0]  # min (achievable under interference)
         spreads[name] = reps
     return times, spreads
 
@@ -317,10 +318,11 @@ def write_baseline_md(payload: dict) -> None:
         "",
         "## Headline query wall times (local[%d])" % payload["cpus"],
         "",
-        "Median of 3 timed reps (plan rebuilt per rep; post-JIT); the",
-        "spread column shows all reps sorted — this VM jitters ±30%.",
+        "Min of 3 timed reps (plan rebuilt per rep; post-JIT) — the same",
+        "achievable-time estimator as the scaling legs; the reps column",
+        "shows all three sorted — this VM jitters ±30%.",
         "",
-        "| query | sec (median) | reps |",
+        "| query | sec (min of 3) | reps |",
         "|---|---|---|",
     ]
     spreads = payload.get("query_spreads", {})
