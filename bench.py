@@ -70,7 +70,9 @@ def _input_rows(sf_dir: str) -> int:
     return pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
 
 
-def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
+def run_headline(
+    sf_dir: str, cpus: int
+) -> tuple[dict[str, float], dict[str, list[float]]]:
     from rollup_engine.queries import QUERIES
     from rollup_engine.session import get_spark
 

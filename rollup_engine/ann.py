@@ -101,6 +101,20 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(nbits, dim))
 
 
+def _resolve_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Embedding dimensionality without running a job when avoidable:
+    explicit parameter first, then the column's schema metadata key
+    ``dim`` (written by ann_index and ingest paths), and only as a last
+    resort a one-row probe — which runs a (tiny) Spark job at PLAN BUILD
+    time, so hot paths should always pass ``dim``."""
+    if dim is not None:
+        return int(dim)
+    md = df.schema[vec_col].metadata or {}
+    if "dim" in md:
+        return int(md["dim"])
+    return int(df.select(F.size(vec_col)).first()[0])
+
+
 # Above this many expression nodes (nbits × dim literal multiply-adds)
 # whole-stage codegen degrades; switch to one Arrow matmul instead.
 _EXPR_SIG_MAX_TERMS = 4096
@@ -229,13 +243,17 @@ def ivf_topk(
         *[F.round(cosine(v, _lit_vec(cvec)), 9) for _, cvec in cents]
     )
     cid_arr = F.array(*[F.lit(cid) for cid, _ in cents])
-    # Degenerate guard (ADVICE r2): a zero-norm vector scores NaN
-    # against every centroid, array_position then returns 0 and
-    # element_at(…, 0) would throw.  Such vectors are parked in the
-    # first list (and filtered out of the re-rank by the NaN score
-    # predicate below) instead of failing the job.
+    # Degenerate guard: cosine uses try_divide, so a zero-norm vector
+    # scores NULL against every centroid → array_max is NULL →
+    # array_position(scores, NULL) is NULL (and 0 if a legacy NaN path
+    # ever produced an all-NaN row).  Coalesce both cases to list 1 so
+    # such vectors really are parked in the first list rather than
+    # landing in a NULL cid; the NULL-score predicate below still keeps
+    # them out of every re-rank.
     pos = F.array_position(scores, F.array_max(scores)).cast("int")
-    best_cid = F.element_at(cid_arr, F.when(pos == 0, F.lit(1)).otherwise(pos))
+    best_cid = F.element_at(
+        cid_arr, F.when(pos.isNull() | (pos == 0), F.lit(1)).otherwise(pos)
+    )
     q = np.asarray(query_vec, dtype=np.float64)
 
     def _cos(c):
@@ -270,18 +288,31 @@ def knn_join(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_shards: int = 1,
 ) -> DataFrame:
     """Exact batch kNN JOIN: top-k corpus neighbors for EVERY query row
     (the batch retrieval op — per-example nearest neighbors for dedup
     clustering, retrieval eval, hard-negative mining).
 
     Scale shape: the query side is broadcast (bounded — thousands of
-    queries, not millions; shard the query set and union for more), the
-    N×|Q| scoring is pure map-side expression work, and the per-query
-    top-k runs as a row_number window whose ``rank ≤ k`` filter Spark
-    compiles to WindowGroupLimit — a PARTIAL top-k inside each map task
-    — so the one exchange carries only O(tasks × |Q| × k) rows, never
-    the scored relation (plan-pinned in tests/test_dataops.py).
+    queries per shard), the N×|Q| scoring is pure map-side expression
+    work, and the per-query top-k runs as a row_number window whose
+    ``rank ≤ k`` filter Spark compiles to WindowGroupLimit — a PARTIAL
+    top-k inside each map task — so the one exchange carries only
+    O(tasks × |Q| × k) rows, never the scored relation (plan-pinned in
+    tests/test_dataops.py).
+
+    ``query_shards``: a large query batch cannot ride one broadcast
+    (Spark's 8 GB broadcast-relation cap, driver/executor memory).  With
+    n > 1 the query side splits into n disjoint hash shards; each shard
+    gets its own small broadcast + crossJoin + per-shard partial top-k
+    window, and the shards union.  Every query lives in exactly one
+    shard, so per-shard ranking equals global ranking — results are
+    identical to the unsharded join (pinned in tests), peak broadcast
+    size is |Q|/n, and each shard still compiles to WindowGroupLimit.
+    For |Q| beyond what sharding keeps reasonable (~millions), use
+    ``knn_join_lsh`` instead — its probes-join shape never broadcasts
+    the full scored relation.
 
     Output: (query_id, vec_id, score, rank), rank 1..k per query; a
     query vector present in the corpus matches itself at rank 1.
@@ -293,17 +324,32 @@ def knn_join(
     c = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        F.col(id_col),
-        F.round(cosine(F.col("_v"), F.col("_qv")), 6).alias("score"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scored.where(F.col("score").isNotNull() & ~F.isnan("score"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-    )
+
+    def _topk(q_shard: DataFrame) -> DataFrame:
+        scored = c.crossJoin(F.broadcast(q_shard)).select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine(F.col("_v"), F.col("_qv")), 6).alias("score"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc(id_col)
+        )
+        return (
+            scored.where(F.col("score").isNotNull() & ~F.isnan("score"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k)
+        )
+
+    if query_shards <= 1:
+        return _topk(q)
+    shard = F.pmod(F.hash("query_id"), F.lit(int(query_shards)))
+    parts = [
+        _topk(q.where(shard == i)) for i in range(int(query_shards))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def knn_join_lsh(
@@ -315,6 +361,7 @@ def knn_join_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate batch kNN join: corpus signatures equi-join the
     queries' multiprobe signature sets (each query explodes into
@@ -323,10 +370,11 @@ def knn_join_lsh(
     probed buckets.  Candidates shrink by ~probes/2^nbits; same scale
     shape as knn_join afterwards (WindowGroupLimit partial top-k).
     Equivalent to per-query ``rp_lsh_topk`` (Hamming ≤ radius probing),
-    batched."""
+    batched.  Pass ``dim`` (or carry it in the column metadata) so plan
+    construction runs zero jobs."""
     from itertools import combinations
 
-    dim = int(corpus.select(F.size(vec_col)).first()[0])
+    dim = _resolve_dim(corpus, vec_col, dim)
     planes = _hyperplanes(dim, nbits, seed)
     masks = [0]
     for r in range(1, hamming_radius + 1):
@@ -403,6 +451,7 @@ def cosine_pairs(
     vec_col: str = "embedding",
     seed: int = 42,
     max_bucket: int = 1000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: LSH-bucket equi-join (exact signature
     match) → exact cosine verify.  At high thresholds near-dups collide
@@ -410,8 +459,9 @@ def cosine_pairs(
 
     ``max_bucket`` bounds a degenerate signature bucket (e.g. zero or
     constant vectors) to cap² candidates instead of p² — same df-cap
-    pattern as dedup._cap_postings."""
-    dim = int(df.select(F.size(vec_col)).first()[0])
+    pattern as dedup._cap_postings.  Pass ``dim`` (or carry it in the
+    column metadata) so plan construction runs zero jobs."""
+    dim = _resolve_dim(df, vec_col, dim)
     planes = _hyperplanes(dim, nbits, seed)
     v = F.col(vec_col).cast("array<double>")
     signed = df.select(

@@ -231,12 +231,18 @@ def smallest_id_centroids(
 def assign_cid(vec_col_expr, centroids: list[list[float]]):
     """Nearest-centroid id as a Column expression (argmax over an array
     of per-centroid cosine scores — see ann.ivf_topk for why not a
-    when-fold).  Zero-norm vectors park in list 0."""
+    when-fold).  Zero-norm vectors park in list 0: with try_divide their
+    scores are all NULL, so array_max/array_position yield NULL (not 0)
+    — coalesce both NULL and 0 to position 1 so the parking actually
+    happens and no row lands in a NULL-cid (__HIVE_DEFAULT_PARTITION__)
+    directory."""
     scores = F.array(
         *[F.round(cosine(vec_col_expr, _lit_vec(c)), 9) for c in centroids]
     )
     pos = F.array_position(scores, F.array_max(scores)).cast("int")
-    return (F.when(pos == 0, F.lit(1)).otherwise(pos) - F.lit(1)).alias("cid")
+    return (
+        F.when(pos.isNull() | (pos == 0), F.lit(1)).otherwise(pos) - F.lit(1)
+    ).alias("cid")
 
 
 def write_ivf_index(

@@ -8,8 +8,10 @@ latest deploy marker, last heartbeat, point-in-time feature joins).
 
 Spark-first shape — NO join node at all: tag and union the two inputs,
 one hash exchange on the key, one ordered window, and
-``last(col, ignorenulls=True)`` carries the right side's values forward
-onto the left rows (the same LOCF kernel as gapfill.py).  Cost is a
+``last(struct(payload), ignorenulls=True)`` carries the latest right
+row forward onto the left rows as ONE atomic struct (the same LOCF
+kernel as gapfill.py, but struct-carried so a NULL field in the matched
+row is never backfilled from an older row).  Cost is a
 single shuffle of |L|+|R| rows regardless of match fan-out — the
 classic sort-merge as-of without the merge join's range-condition
 explosion (a naive ``left.ts >= right.ts`` theta-join is O(|L|·|R|)
@@ -31,6 +33,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -66,11 +69,19 @@ def asof_join(
         )
     matched_ts = f"{ts_col}_asof"
 
+    # The whole right payload rides as ONE struct so the matched row stays
+    # atomic: last(struct, ignorenulls) either carries the entire latest
+    # right row (its internal NULLs included) or nothing.  Per-column
+    # last(ignorenulls) would backfill a NULL field from an OLDER right
+    # row, silently mixing columns from different matches.
+    payload_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in carry]
+        + [StructField(matched_ts, right.schema[ts_col].dataType)]
+    )
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in carry],
-        F.lit(None).cast(right.schema[ts_col].dataType).alias(matched_ts),
+        F.lit(None).cast(payload_type).alias("_asof"),
     )
     r_tag = right.select(
         *[
@@ -80,15 +91,22 @@ def asof_join(
             for c in left.columns
         ],
         F.lit(0).alias("_side"),
-        *[F.col(c) for c in carry],
-        F.col(ts_col).alias(matched_ts),
+        F.struct(
+            *[F.col(c) for c in carry], F.col(ts_col).alias(matched_ts)
+        ).alias("_asof"),
     )
     # order: ts, then right-before-left at equal ts (backward INCLUSIVE),
     # then the caller's deterministic tie-break among equal right rows
     order = [F.col(ts_col).asc(), F.col("_side").asc()]
     if right_tiebreak is not None:
+        if right_tiebreak not in carry:
+            raise ValueError(
+                f"right_tiebreak {right_tiebreak!r} must be a right payload "
+                "column (not a key or the timestamp)"
+            )
         order.append(
-            F.when(F.col("_side") == 0, F.col(right_tiebreak)).asc_nulls_first()
+            F.when(F.col("_side") == 0, F.col("_asof")[right_tiebreak])
+            .asc_nulls_first()
         )
     w = (
         Window.partitionBy(*by)
@@ -96,8 +114,15 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     both = l_tag.unionByName(r_tag)
-    carried = {c: F.last(c, ignorenulls=True).over(w) for c in [*carry, matched_ts]}
-    out = both.withColumns(carried).where(F.col("_side") == 1).drop("_side")
+    out = (
+        both.withColumn("_asof", F.last("_asof", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[F.col("_asof")[c].alias(c) for c in carry],
+            F.col("_asof")[matched_ts].alias(matched_ts),
+        )
+    )
     if tolerance_seconds is not None:
         stale = (
             F.col(matched_ts).isNull()

@@ -314,8 +314,24 @@ def hist_cascade(rollup_df: DataFrame, to_tier: str) -> DataFrame:
     t = TIERS[to_tier]
     target = F.date_trunc(t.duckdb_trunc, F.col("bucket_start"))
     first = F.col("_pos") == 0
+    # posexplode silently DROPS null-array rows, which would vanish a
+    # bucket's counts/min/max/sum without any error — fail fast instead.
+    # Rows with hist=NULL (binary-sketch tiers) must go through
+    # sketch_rollup's cascade, never this one.  The guard is a lazy
+    # per-row expression: zero driver jobs at plan build.
+    guarded = rollup_df.withColumn(
+        "hist",
+        F.when(F.col("hist").isNotNull(), F.col("hist")).otherwise(
+            F.raise_error(
+                F.lit(
+                    "hist_cascade: input row has hist=NULL (sketch-tier "
+                    "row?) — cascade it with sketch_rollup instead"
+                )
+            )
+        ),
+    )
     h = (
-        rollup_df.select(
+        guarded.select(
             target.alias("bucket_start"),
             F.posexplode("hist").alias("_pos", "_e"),
             "err4xx_cnt",

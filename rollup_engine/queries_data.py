@@ -18,8 +18,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# The driver's embeddings tables are 64-dim at every scale factor
+# (verified across sf0.001/0.01/0.1).  Stamped into the column metadata
+# so LSH plan construction (ann._resolve_dim) never runs a probe job;
+# a dim change would show up immediately as gate hash mismatches.
+EMBEDDING_DIM = 64
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return df.withMetadata("embedding", {"dim": EMBEDDING_DIM})
 
 
 # ------------------------------------------------------------- text ops

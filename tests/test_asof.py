@@ -85,6 +85,29 @@ def test_asof_tie_break_deterministic(spark):
         assert out[0].mark == 222.0  # seq 9 wins
 
 
+def test_asof_matched_row_stays_atomic(spark):
+    """A NULL field in the matched (most recent) right row must arrive as
+    NULL — never backfilled from an OLDER right row.  Right rows
+    (ts=1, a=5.0, b='old') then (ts=2, a=NULL, b='new'): a left row at
+    ts=10 matches the ts=2 row intact, so a is NULL (DuckDB/pandas ASOF
+    semantics; regression for the per-column-LOCF column-mixing bug)."""
+    left = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01T00:10:00"))],
+        "event_id: long, user_id: string, ts: timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", _ts("2024-01-01T00:01:00"), 5.0, "old"),
+            ("k", _ts("2024-01-01T00:02:00"), None, "new"),
+        ],
+        "user_id: string, ts: timestamp, a: double, b: string",
+    )
+    row = asof_join(left, right, by=["user_id"]).collect()[0]
+    assert row.b == "new"
+    assert row.a is None
+    assert row.ts_asof == _ts("2024-01-01T00:02:00")
+
+
 def test_asof_column_collision_raises(spark):
     left, right = _fixture(spark)
     with pytest.raises(ValueError, match="collide"):

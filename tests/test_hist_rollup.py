@@ -51,6 +51,21 @@ def test_hist_cascade_exact(spark):
     )
 
 
+def test_cascade_null_hist_fails_fast(spark):
+    """A hist=NULL row (sketch-tier) must raise, not silently vanish its
+    counts through posexplode's null-array drop."""
+    from pyspark.sql import functions as F
+    from pyspark.errors import SparkRuntimeException
+
+    minute = hist_rollup(_deltas(spark), "minute")
+    poisoned = minute.withColumn(
+        "hist",
+        F.when(F.minute("bucket_start") == 0, F.lit(None)).otherwise(F.col("hist")),
+    )
+    with pytest.raises(SparkRuntimeException, match="hist=NULL"):
+        hist_cascade(poisoned, "hour").collect()
+
+
 SCALARS = [
     "turn_count", "lat_min_ms", "lat_max_ms", "lat_avg_ms", "lat_sum_ms",
     "err4xx_rate", "err5xx_rate",
