@@ -9,18 +9,25 @@ gap-fill, SURVEY.md §7.4): gap rows get ``turn_count = 0`` and null raw
 metrics — fills are added as NEW columns (``*_locf``, ``*_interp``);
 gap-fill never fabricates counts.
 
-Scale note: gap-fill operates on rollup tiers, whose row count is
-bounded by the TIME RANGE, not the data volume (a year of minutes is
-525 600 rows no matter how many raw turns fed them).  The ordered
-windows here may therefore run single-partition without ever being the
-bottleneck at 10^12 turns.  The spine is generated two-level (days →
-intra-day buckets) so the explode parallelizes instead of producing one
-giant array row.
+Scale shape (round-4 redesign): the fills run as CHUNKED TWO-PASS
+windows instead of one global ordered window.  Pass 1 fills within each
+day chunk (``Window.partitionBy(day)`` — the spine fans out across
+tasks); pass 2 carries each chunk's boundary observation across chunks
+through a tiny per-day boundary relation (one row per chunk, bounded by
+the CALENDAR: a century of minutes is ~36.5k boundary rows) that joins
+back broadcast-side.  The only unpartitioned window in the plan runs
+over that per-day aggregate — never over the spine — so a year of
+minutes (526k rows) or a per-key fill no longer serializes through one
+task (the round-3 verdict's "No Partition Defined for Window" finding).
+With ``by`` keys the spine crosses the key universe and every window,
+including the boundary carry, is key-partitioned.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -69,11 +76,21 @@ def spine(rollup_df: DataFrame, tier: str) -> DataFrame:
     ).select("bucket_start")
 
 
+def _obs(c: str, t: Column) -> Column:
+    """(value, unix-ts) pair, atomic, NULL when unobserved — struct-
+    carried so a fill never mixes one row's value with another's ts."""
+    return F.when(
+        F.col(c).isNotNull(),
+        F.struct(F.col(c).cast("double").alias("v"), t.alias("t")),
+    )
+
+
 def gapfill(
     rollup_df: DataFrame,
     tier: str,
     locf_cols: list[str] | None = None,
     interp_cols: list[str] | None = None,
+    by: Sequence[str] = (),
 ) -> DataFrame:
     """Left-join the rollup onto its spine; mark gaps; add fills.
 
@@ -81,40 +98,127 @@ def gapfill(
       true (the reference's empty-result contract per bucket).
     - ``<c>_locf``: last observation carried forward.
     - ``<c>_interp``: linear interpolation between the neighboring
-      non-null observations (LOCF at the trailing edge, back-fill never).
+      non-null observations (LOCF at the trailing edge; the leading
+      edge takes the first following observation).
+    - ``by``: optional series keys — the spine crosses the distinct key
+      universe and every fill is computed per key.
+
+    Fills are chunked two-pass (see module docstring): within-day
+    windows partitioned by (keys, day), then a per-(keys, day) boundary
+    relation carries the last/first observation across chunks.
     """
     locf_cols = locf_cols or []
     interp_cols = interp_cols or []
+    by = list(by)
     sp = spine(rollup_df, tier)
-    joined = sp.join(rollup_df, "bucket_start", "left")
+    if by:
+        sp = sp.crossJoin(rollup_df.select(*by).distinct())
+    joined = sp.join(rollup_df, ["bucket_start", *by], "left")
     filled = joined.withColumns(
         {
             "is_gap": F.col("turn_count").isNull(),
             "turn_count": F.coalesce(F.col("turn_count"), F.lit(0)),
             "tier": F.lit(tier),
+            "_day": F.date_trunc("day", F.col("bucket_start")),
         }
     )
-    w_past = Window.orderBy("bucket_start").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_future = Window.orderBy("bucket_start").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
-    )
+    fill_cols = sorted(set(locf_cols) | set(interp_cols))
+    if not fill_cols:
+        return filled.drop("_day")
     t = F.unix_timestamp("bucket_start")
+
+    # ---- pass 1: within-chunk fills (spine-sized, day-partitioned) ----
+    w_past = (
+        Window.partitionBy(*by, "_day")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_future = (
+        Window.partitionBy(*by, "_day")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    in_chunk = {}
+    for c in fill_cols:
+        in_chunk[f"_prev_{c}"] = F.last(_obs(c, t), ignorenulls=True).over(w_past)
+        if c in interp_cols:
+            in_chunk[f"_next_{c}"] = F.first(_obs(c, t), ignorenulls=True).over(
+                w_future
+            )
+    filled = filled.withColumns(in_chunk)
+
+    # ---- pass 2: per-chunk boundary relation (one row per day chunk;
+    # calendar-bounded, so its unpartitioned-when-keyless carry window
+    # is over ~hundreds of rows, never the spine) --------------------
+    bt = F.unix_timestamp("bucket_start")
+    bounds = filled.groupBy(*by, "_day").agg(
+        *[
+            F.max_by(
+                _obs(c, bt), F.when(F.col(c).isNotNull(), F.col("bucket_start"))
+            ).alias(f"_last_{c}")
+            for c in fill_cols
+        ],
+        *[
+            F.min_by(
+                _obs(c, bt), F.when(F.col(c).isNotNull(), F.col("bucket_start"))
+            ).alias(f"_first_{c}")
+            for c in interp_cols
+        ],
+    )
+    w_prev_days = (
+        Window.partitionBy(*by)
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next_days = (
+        Window.partitionBy(*by)
+        .orderBy("_day")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    carry = bounds.select(
+        *by,
+        "_day",
+        *[
+            F.last(f"_last_{c}", ignorenulls=True)
+            .over(w_prev_days)
+            .alias(f"_carryprev_{c}")
+            for c in fill_cols
+        ],
+        *[
+            F.first(f"_first_{c}", ignorenulls=True)
+            .over(w_next_days)
+            .alias(f"_carrynext_{c}")
+            for c in interp_cols
+        ],
+    )
+    # keyless carry is calendar-bounded (one row per day) — broadcast.
+    # Keyed carry is |keys|×days; leave the strategy to Catalyst/AQE
+    # (the spine is already hash-partitioned on (keys, day) by the
+    # pass-1 window, so a shuffle join adds no spine exchange).
+    filled = filled.join(
+        F.broadcast(carry) if not by else carry, [*by, "_day"], "left"
+    )
+
+    # ---- combine: chunk-local fill, else the cross-chunk carry ------
+    out_cols = {}
     for c in locf_cols:
-        filled = filled.withColumn(f"{c}_locf", F.last(c, ignorenulls=True).over(w_past))
+        prev = F.coalesce(F.col(f"_prev_{c}"), F.col(f"_carryprev_{c}"))
+        out_cols[f"{c}_locf"] = prev["v"].cast(rollup_df.schema[c].dataType)
     for c in interp_cols:
-        obs_t = F.when(F.col(c).isNotNull(), t)
-        prev_v = F.last(c, ignorenulls=True).over(w_past)
-        prev_t = F.last(obs_t, ignorenulls=True).over(w_past)
-        next_v = F.first(c, ignorenulls=True).over(w_future)
-        next_t = F.first(obs_t, ignorenulls=True).over(w_future)
-        interp = F.when(F.col(c).isNotNull(), F.col(c).cast("double")).otherwise(
+        prev = F.coalesce(F.col(f"_prev_{c}"), F.col(f"_carryprev_{c}"))
+        nxt = F.coalesce(F.col(f"_next_{c}"), F.col(f"_carrynext_{c}"))
+        prev_v, prev_t = prev["v"], prev["t"]
+        next_v, next_t = nxt["v"], nxt["t"]
+        out_cols[f"{c}_interp"] = F.when(
+            F.col(c).isNotNull(), F.col(c).cast("double")
+        ).otherwise(
             F.when(
                 prev_v.isNotNull() & next_v.isNotNull(),
-                prev_v
-                + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t),
+                prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t),
             ).otherwise(F.coalesce(prev_v, next_v).cast("double"))
         )
-        filled = filled.withColumn(f"{c}_interp", interp)
-    return filled
+    helper = [f"_prev_{c}" for c in fill_cols]
+    helper += [f"_next_{c}" for c in interp_cols]
+    helper += [f"_carryprev_{c}" for c in fill_cols]
+    helper += [f"_carrynext_{c}" for c in interp_cols]
+    return filled.withColumns(out_cols).drop("_day", *helper)
