@@ -2,11 +2,16 @@
 metadata.
 
 The Spark-side plumbing (schema, partition-friendly layout, Arrow batch
-shapes, mapInPandas UDF signatures) is real and tested; the actual
-media DECODE is stubbed behind ``_decode_image`` (the sandbox has no
-image/audio libraries) — it raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (derived from
-the payload bytes) exercises the full pipeline end-to-end.
+shapes, mapInPandas UDF signatures) is real and tested.  Image HEADER
+decode (width/height) is REAL for PNG/GIF/BMP/JPEG — pure stdlib byte
+parsing (``parse_image_header``), no image library needed.  Full PIXEL
+decode (and therefore content-derived features) still needs a codec
+library the sandbox lacks: for unrecognized payloads ``_decode_image``
+raises NotImplementedError unless ``fake=True``, in which case a
+deterministic fake decoder (derived from the payload bytes) exercises
+the full pipeline end-to-end; recognized headers always yield real
+dimensions, with the feature vector derived from the payload digest
+(documented stand-in for a model embedding).
 
 Layout contract for 100 TB media tables: binaries ride in their own
 column so Parquet keeps them in a separate chunk (column pruning means
@@ -60,27 +65,74 @@ def media_from_documents(df: DataFrame) -> DataFrame:
     )
 
 
-def _decode_image(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
-    """STUB: real decode needs an image library not present in this
-    container.  The fake decoder derives (width, height, 8-dim feature)
-    deterministically from the payload so the surrounding Spark
-    pipeline is fully exercised and reproducible."""
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires pillow/opencv; not available here — "
-            "pass fake=True for the deterministic stub"
-        )
-    digest = hashlib.sha256(payload).digest()
-    width = 64 + digest[0]
-    height = 64 + digest[1]
-    feat = (
+def parse_image_header(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) from the container header — pure stdlib byte
+    parsing, no image library.  Formats: PNG (IHDR, big-endian), GIF
+    (87a/89a logical screen, little-endian), BMP (BITMAPINFOHEADER,
+    little-endian; height may be negative for top-down rows), JPEG
+    (first SOFn marker scan, big-endian).  Returns None when the
+    payload is not a recognized image container."""
+    import struct
+
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", payload[16:24])
+        return int(w), int(h)
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return int(w), int(h)
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        w, h = struct.unpack("<ii", payload[18:26])
+        return int(w), abs(int(h))
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        # walk marker segments to the first start-of-frame
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers have no length field
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return int(w), int(h)
+            (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            if seg_len < 2:
+                return None
+            i += 2 + seg_len
+        return None
+    return None
+
+
+def _digest_feature(digest: bytes) -> np.ndarray:
+    """8-dim deterministic stand-in for a model embedding, derived from
+    the payload digest (real content embeddings need a codec + model
+    the sandbox lacks; the Spark-side shapes are identical)."""
+    return (
         np.frombuffer(digest[:32], dtype=np.uint8)
         .reshape(8, 4)
         .sum(axis=1)
         .astype(np.float32)
         / 1020.0
     )
-    return width, height, feat
+
+
+def _decode_image(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
+    """Real header parse when the payload is a recognized image
+    container; otherwise the deterministic fake decoder (``fake=True``)
+    or NotImplementedError — full pixel decode needs an image library
+    not present in this container."""
+    digest = hashlib.sha256(payload).digest()
+    dims = parse_image_header(payload)
+    if dims is not None:
+        return dims[0], dims[1], _digest_feature(digest)
+    if not fake:
+        raise NotImplementedError(
+            "unrecognized image container: header parsing covers "
+            "PNG/GIF/BMP/JPEG; full pixel decode requires pillow/opencv "
+            "— pass fake=True for the deterministic stub"
+        )
+    return 64 + digest[0], 64 + digest[1], _digest_feature(digest)
 
 
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:

@@ -201,8 +201,64 @@ def test_multimodal_stub_determinism(spark):
 
 
 def test_multimodal_real_decode_unimplemented():
+    """Unrecognized containers still fail fast without fake=True (full
+    pixel decode needs an image library the sandbox lacks)."""
     with pytest.raises(NotImplementedError):
         multimodal._decode_image(b"bytes", fake=False)
+
+
+# Committed tiny real image containers — hand-assembled headers, the
+# same bytes an encoder would emit for the leading structures.
+_PNG_97x43 = (
+    b"\x89PNG\r\n\x1a\n"                      # magic
+    + (13).to_bytes(4, "big") + b"IHDR"        # IHDR chunk
+    + (97).to_bytes(4, "big") + (43).to_bytes(4, "big")
+    + b"\x08\x02\x00\x00\x00" + b"\x00" * 4    # bit depth/color + crc pad
+)
+_GIF_320x200 = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(
+    2, "little"
+) + b"\xf7\x00\x00"
+_BMP_12x8_TOPDOWN = (
+    b"BM" + (122).to_bytes(4, "little") + b"\x00" * 4
+    + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+    + (12).to_bytes(4, "little")
+    + (-8).to_bytes(4, "little", signed=True)  # negative = top-down
+    + b"\x01\x00\x18\x00"
+)
+_JPEG_31x17 = (
+    b"\xff\xd8"                                # SOI
+    + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    + b"\xff\xdb" + (4).to_bytes(2, "big") + b"\x00\x00"  # DQT stub
+    + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"     # SOF0, precision
+    + (17).to_bytes(2, "big") + (31).to_bytes(2, "big")   # height, width
+    + b"\x03" + b"\x00" * 9
+)
+
+
+def test_multimodal_real_header_decode(spark):
+    """Real stdlib header parsing: non-fake extract_features over
+    committed PNG/GIF/BMP/JPEG bytes yields the true dimensions."""
+    cases = {
+        1: (_PNG_97x43, 97, 43),
+        2: (_GIF_320x200, 320, 200),
+        3: (_BMP_12x8_TOPDOWN, 12, 8),
+        4: (_JPEG_31x17, 31, 17),
+    }
+    for payload, w, h in cases.values():
+        assert multimodal.parse_image_header(payload) == (w, h), payload[:8]
+    media = spark.createDataFrame(
+        [(mid, "image", bytearray(p), "image/x-test", len(p))
+         for mid, (p, _, _) in cases.items()],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        r.media_id: r
+        for r in multimodal.extract_features(media, fake=False).collect()
+    }
+    for mid, (payload, w, h) in cases.items():
+        assert (rows[mid].width, rows[mid].height) == (w, h)
+        assert rows[mid].n_bytes == len(payload)
+        assert len(rows[mid].feature) == 8
 
 
 # ------------------------------------------------------- skew / scale caps
