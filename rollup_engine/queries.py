@@ -422,10 +422,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 from .queries_data import DATA_ORACLES, DATA_QUERIES  # noqa: E402
-from .queries_pipeline import q_incremental_minute, q_stream_minute  # noqa: E402
+from .queries_pipeline import (  # noqa: E402
+    q_incremental_minute,
+    q_stream_minute,
+    q_stream_sessionize,
+)
 
 QUERIES.update(DATA_QUERIES)
 QUERIES["stream_minute"] = q_stream_minute
+QUERIES["stream_sessionize"] = q_stream_sessionize
 QUERIES["incremental_minute"] = q_incremental_minute
 
 _TERM_MATCH = (
@@ -704,5 +709,9 @@ SELECT user_id, session_seq,
        max(ts) AS session_end,
        (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_sec
 FROM s GROUP BY 1, 2"""
+
+# Streaming sessionization must equal the batch operator exactly —
+# same oracle, different execution mode (session_window + watermark).
+ORACLES["stream_sessionize"] = ORACLES["sessionize"]
 
 ORACLES.update(DATA_ORACLES)

@@ -85,6 +85,69 @@ def q_stream_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("bucket_start") <= F.lit(max_ts))
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sessionization == batch session_stats (the
+    round-3 verdict's missing §2.7 twin): Spark's native session_window
+    stateful operator over the events stream, availableNow, with the
+    same two-microbatch watermark choreography as stream_minute (all
+    real events in batch 1; a far-future sentinel user alone in batch 2
+    advances the watermark so every real session closes and flushes).
+
+    session_seq is re-derived over the sink BATCH-side (row_number per
+    user by session_start — sessions are disjoint per key, so the rank
+    is well-defined), making the output schema identical to the batch
+    ``sessionize`` gate; the DuckDB oracle is reused verbatim.
+    """
+    from .streaming import run_session_stream_once
+
+    work = _workdir("streamsess", sf_dir)
+    # testdata ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP (session
+    # TZ pinned UTC, so the instant is unchanged)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    input_dir = os.path.join(work, "input")
+    ev.repartition(4, "user_id").write.mode("overwrite").parquet(input_dir)
+    real_parts = set(os.listdir(input_dir))
+
+    sentinel_ts = F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")
+    sentinel = spark.range(2).select(
+        (F.lit(-1) - F.col("id")).alias("event_id"),
+        (sentinel_ts + F.col("id") * F.expr("INTERVAL 1 SECOND")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),  # generator ids are ≥ 0
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(input_dir)
+    now = time.time()
+    for f in set(os.listdir(input_dir)) - real_parts:
+        os.utime(os.path.join(input_dir, f), (now + 60, now + 60))
+
+    n_real = len([f for f in real_parts if f.startswith("part-")])
+    run_session_stream_once(
+        spark,
+        input_dir,
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "out"),
+        schema=ev.schema,
+        gap_seconds=1800,
+        by=("user_id",),
+        max_files=n_real,
+    )
+    out = spark.read.parquet(os.path.join(work, "out")).where("user_id >= 0")
+    from pyspark.sql import Window
+
+    seq = Window.partitionBy("user_id").orderBy("session_start")
+    return out.select(
+        "user_id",
+        F.row_number().over(seq).cast("long").alias("session_seq"),
+        "n_events",
+        # back to NTZ to mirror the batch sessionize gate's schema
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "duration_sec",
+    )
+
+
 def q_incremental_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-snapshot incremental refresh == batch SQL rollup: snapshot 1
     carries each conversation's first half, snapshot 2 the rest; the

@@ -149,6 +149,87 @@ def stream_minute_rollup(
     )
 
 
+def stream_session_stats(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    by: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of tsops.session_stats — Spark's native
+    ``session_window`` stateful operator (merging session state per key,
+    watermark-bounded; the state store holds one open window per active
+    key instead of the reference's unbounded in-memory vectors).
+
+    Boundary-exact equivalence with the batch operator: batch starts a
+    new session when the inter-event gap is STRICTLY greater than
+    ``gap_seconds``; ``session_window`` merges half-open [ts, ts+G)
+    windows, splitting when gap ≥ G.  With G = gap_seconds + 1 µs (event
+    time is microsecond-resolution) "gap < G" ⟺ "gap ≤ gap_seconds" —
+    identical session boundaries, pinned by the stream_sessionize gate
+    against the batch DuckDB oracle.
+
+    Emits one append-mode row per CLOSED session (watermark passed the
+    session's end+gap): key, session_start, session_end, n_events,
+    duration_sec.  A per-key running ``session_seq`` is inherently a
+    batch notion (it re-ranks history); derive it downstream over the
+    sink table when needed (see queries_pipeline.q_stream_sessionize).
+    """
+    gap_us = int(gap_seconds) * 1_000_000 + 1
+    t = F.col(ts_col)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            *[F.col(c) for c in by],
+            F.session_window(t, f"{gap_us} microseconds").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(t).alias("session_start"),
+            F.max(t).alias("session_end"),
+        )
+        .withColumn(
+            "duration_sec",
+            (
+                F.unix_micros(F.col("session_end").cast("timestamp"))
+                - F.unix_micros(F.col("session_start").cast("timestamp"))
+            )
+            / F.lit(1_000_000.0),
+        )
+        .drop("sw")
+    )
+
+
+def run_session_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    schema: T.StructType,
+    gap_seconds: int = 1800,
+    by: tuple[str, ...] = ("user_id",),
+    max_files: int = 64,
+) -> None:
+    """One availableNow sessionization pass over a file-source event
+    stream; closed sessions append to the parquet sink, open-session
+    state survives in the checkpoint for the next pass."""
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(input_dir)
+    )
+    sessions = stream_session_stats(events, gap_seconds=gap_seconds, by=by)
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def read_turn_stream(
     spark: SparkSession, input_dir: str, max_files: int = 64
 ) -> DataFrame:
