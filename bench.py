@@ -70,9 +70,25 @@ def _input_rows(sf_dir: str) -> int:
     return pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
 
 
+# Hardware capacity (pure-CPU probe chunks/s at 32 workers) measured in
+# the SAME window as the round-4 committed clean headline run — the
+# anchor for probe-normalized times.  Normalized time = raw × (window
+# capacity / this reference): it estimates what the suite would have
+# taken in the reference window, dividing out hypervisor noisy-neighbor
+# steal (this VM's deliverable capacity swings ±50% between windows —
+# the cause of the round-3 29 s-driver-window vs 16 s-clean-window
+# split).  Provenance: in the window where this constant was measured
+# (round 4, probes [123.8, 157.39, 160.58]) the full headline suite ran
+# in 16.185 s raw at sf0.1/local[32] — the same ~16 s the round-3
+# committed clean-window run recorded.
+REFERENCE_HW_CHUNKS_PER_SEC = float(
+    os.environ.get("SPARK_GRAFT_REFERENCE_HW", "157.39")
+)
+
+
 def run_headline(
     sf_dir: str, cpus: int
-) -> tuple[dict[str, float], dict[str, list[float]]]:
+) -> tuple[dict[str, float], dict[str, list[float]], list[float]]:
     from rollup_engine.queries import QUERIES
     from rollup_engine.session import get_spark
 
@@ -81,7 +97,10 @@ def run_headline(
     )
     times: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    # paired pure-CPU capacity probes: start / middle / end of the suite
+    # (same probe as the scaling legs) document THIS window's hardware
+    probes = [_hw_rate(min(cpus, 32))]
+    for i, name in enumerate(HEADLINE):
         # Plans are fully lazy (round 3: no eager checkpoint anywhere),
         # but the build still sits inside the timed region so the
         # measurement stays end-to-end comparable across rounds.
@@ -98,7 +117,10 @@ def run_headline(
         reps.sort()
         times[name] = reps[0]  # min (achievable under interference)
         spreads[name] = reps
-    return times, spreads
+        if i == len(HEADLINE) // 2:
+            probes.append(_hw_rate(min(cpus, 32)))
+    probes.append(_hw_rate(min(cpus, 32)))
+    return times, spreads, probes
 
 
 def ensure_bench_table(turns: int = BENCH_TURNS) -> str:
@@ -129,8 +151,17 @@ def run_scaling_child(table: str, cpus: int) -> None:
     from rollup_engine.session import get_spark
     from rollup_engine.transcripts import clean
 
+    extra = json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}"))
+    shuffle_parts = (
+        int(extra.pop("spark.sql.shuffle.partitions"))
+        if "spark.sql.shuffle.partitions" in extra
+        else None
+    )
     spark = get_spark(
-        f"rollup-scale-{cpus}", master=f"local[{cpus}]"
+        f"rollup-scale-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=shuffle_parts,
+        extra_conf=extra,
     )
     from rollup_engine.hist_rollup import (
         hist_cascade,
@@ -324,14 +355,40 @@ def write_baseline_md(payload: dict) -> None:
         "achievable-time estimator as the scaling legs; the reps column",
         "shows all three sorted — this VM jitters ±30%.",
         "",
-        "| query | sec (min of 3) | reps |",
-        "|---|---|---|",
     ]
+    hw = payload.get("hw_probe")
+    norm = payload.get("queries_normalized")
+    if hw:
+        lines += [
+            "Window capacity probe (pure-CPU chunks/s at start/mid/end of "
+            f"the suite): {hw['probes']} → median "
+            f"**{hw['chunks_per_sec']}** vs reference window "
+            f"{hw['reference_chunks_per_sec']} "
+            f"(ratio {hw['window_vs_reference']}).  Normalized sec = raw "
+            "× ratio — the suite's estimated time in the reference "
+            "window, dividing out hypervisor noisy-neighbor steal "
+            "(±50% between windows on this VM).",
+            "",
+        ]
+    if norm:
+        lines += ["| query | sec (min of 3) | normalized sec | reps |",
+                  "|---|---|---|---|"]
+    else:
+        lines += ["| query | sec (min of 3) | reps |", "|---|---|---|"]
     spreads = payload.get("query_spreads", {})
-    lines += [
-        f"| {k} | {v} | {spreads.get(k, [v])} |"
-        for k, v in payload["queries"].items()
-    ]
+    for k, v in payload["queries"].items():
+        if norm:
+            lines.append(
+                f"| {k} | {v} | {norm.get(k, v)} | {spreads.get(k, [v])} |"
+            )
+        else:
+            lines.append(f"| {k} | {v} | {spreads.get(k, [v])} |")
+    if norm:
+        lines += [
+            "",
+            f"Suite total: **{payload['value']} s raw**, "
+            f"**{payload['value_normalized']} s normalized**.",
+        ]
     if sc:
         lines += [
             "",
@@ -439,9 +496,12 @@ def run_stream_bench(turns: int = 1_000_000, cpus: int = 8) -> dict:
     }
 
 
-def append_stream_note(sb: dict) -> None:
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    lines = [
+_STREAM_CACHE = os.path.join(REPO, "BENCH", "stream_bench.json")
+_SHUFFLE_CACHE = os.path.join(REPO, "BENCH", "shuffle_matrix.json")
+
+
+def _stream_note_lines(sb: dict) -> list[str]:
+    return [
         "",
         "## Structured-Streaming micro-bench (stateful path)",
         "",
@@ -450,10 +510,107 @@ def append_stream_note(sb: dict) -> None:
         f"{sb['turns_per_sec']:,.0f} turns/s** through "
         "applyInPandasWithState (vectorized np.diff state fn — no "
         "per-row Python loop) → watermarked minute windows → parquet "
-        "sink, including sink commit + checkpoint I/O.",
+        "sink, including sink commit + checkpoint I/O.  (Measured by "
+        "`bench.py --stream-bench`; cached in BENCH/stream_bench.json "
+        "and re-emitted on every BASELINE.md regeneration.)",
     ]
-    with open(path, "a") as f:
-        f.write("\n".join(lines) + "\n")
+
+
+def _shuffle_matrix_lines(m: dict) -> list[str]:
+    lines = [
+        "",
+        "## Shuffle-tuning experiment matrix — the (8,32) ceiling",
+        "",
+        f"Raw-data pass on {m['turns']:,} turns (min of "
+        f"{m['reps']} reps/config, shuffle on tmpfs, same process "
+        "recipe as the scaling children; measured by `bench.py "
+        "--shuffle-matrix`, cached in BENCH/shuffle_matrix.json).  "
+        "Per-config same-window capacity probes normalize cross-window "
+        "drift.",
+        "",
+        "| config | local[8] sec | local[32] sec | raw 8→32 eff |"
+        " probe-norm eff |",
+        "|---|---|---|---|---|",
+    ]
+    for name, r in m["configs"].items():
+        lines.append(
+            f"| {name} | {r['sec_8']} | {r['sec_32']} | {r['eff_raw']} |"
+            f" {r['eff_norm']} |"
+        )
+    lines += ["", m.get("conclusion", "")]
+    return lines
+
+
+def append_cached_sections() -> None:
+    """Re-emit the cached micro-bench sections (round-3 verdict: a
+    BASELINE.md regeneration must never silently drop them)."""
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    out = []
+    if os.path.exists(_STREAM_CACHE):
+        with open(_STREAM_CACHE) as f:
+            out += _stream_note_lines(json.load(f))
+    if os.path.exists(_SHUFFLE_CACHE):
+        with open(_SHUFFLE_CACHE) as f:
+            out += _shuffle_matrix_lines(json.load(f))
+    if out:
+        with open(path, "a") as f:
+            f.write("\n".join(out) + "\n")
+
+
+# (8,32) shuffle-ceiling experiments (round-3 verdict item 8): codec,
+# partition-count, and transfer-size variants of the raw-data pass.
+SHUFFLE_CONFIGS = {
+    "base (lz4, 4×cores parts)": {},
+    "zstd shuffle codec": {"spark.io.compression.codec": "zstd"},
+    "lz4, 64 shuffle parts": {"spark.sql.shuffle.partitions": "64"},
+    "lz4, 256 shuffle parts": {"spark.sql.shuffle.partitions": "256"},
+    "bigger shuffle buffers": {
+        "spark.shuffle.file.buffer": "1m",
+        "spark.reducer.maxSizeInFlight": "96m",
+    },
+}
+
+
+def run_shuffle_matrix(turns: int | None = None) -> dict:
+    table = ensure_bench_table(turns or BENCH_TURNS_832)
+    import pyarrow.dataset as ds
+
+    n = ds.dataset(table, format="parquet").count_rows()
+    env_base = dict(os.environ)
+    shm = "/dev/shm/spark-local-bench"
+    os.makedirs(shm, exist_ok=True)
+    env_base["SPARK_LOCAL_DIRS"] = shm
+    configs = {}
+    for name, conf in SHUFFLE_CONFIGS.items():
+        res = {}
+        for cpus in (8, 32):
+            env = dict(env_base)
+            env["SPARK_GRAFT_EXTRA_CONF"] = json.dumps(conf)
+            hw = _hw_rate(cpus)
+            out = subprocess.run(
+                [sys.executable, __file__, "--scale-child", str(cpus), table],
+                capture_output=True, text=True, check=True, env=env,
+            )
+            child = json.loads(
+                [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            )
+            res[cpus] = {"sec": child["sec"], "hw": hw}
+        raw = (res[8]["sec"] / res[32]["sec"]) / 4
+        hw_eff = (res[32]["hw"] / res[8]["hw"]) / 4
+        configs[name] = {
+            "sec_8": round(res[8]["sec"], 3),
+            "sec_32": round(res[32]["sec"], 3),
+            "hw_8": round(res[8]["hw"], 2),
+            "hw_32": round(res[32]["hw"], 2),
+            "eff_raw": round(raw, 3),
+            "eff_norm": round(raw / hw_eff if hw_eff > 0 else raw, 3),
+        }
+        print(json.dumps({name: configs[name]}), flush=True)
+    matrix = {"turns": n, "reps": 3, "configs": configs}
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(_SHUFFLE_CACHE, "w") as f:
+        json.dump(matrix, f, indent=1)
+    return matrix
 
 
 def main() -> None:
@@ -465,11 +622,20 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--stream-bench":
         sb = run_stream_bench()
-        append_stream_note(sb)
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(_STREAM_CACHE, "w") as f:
+            json.dump(sb, f, indent=1)
         print(json.dumps({"metric": "stream_throughput", **sb}))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--shuffle-matrix":
+        m = run_shuffle_matrix()
+        print(json.dumps({"metric": "shuffle_matrix", **m}))
+        return
 
-    times, spreads = run_headline(sf_dir, cpus)
+    times, spreads, probes = run_headline(sf_dir, cpus)
+    import statistics
+
+    window_hw = round(statistics.median(probes), 2)
     payload = {
         "metric": "headline_rollup_suite",
         "value": round(sum(times.values()), 3),
@@ -481,6 +647,20 @@ def main() -> None:
         "cpus": cpus,
         "input_turns": _input_rows(sf_dir),
     }
+    if REFERENCE_HW_CHUNKS_PER_SEC > 0:
+        ratio = round(window_hw / REFERENCE_HW_CHUNKS_PER_SEC, 3)
+        payload["hw_probe"] = {
+            "probes": [round(p, 2) for p in probes],
+            "chunks_per_sec": window_hw,
+            "reference_chunks_per_sec": REFERENCE_HW_CHUNKS_PER_SEC,
+            "window_vs_reference": ratio,
+        }
+        payload["queries_normalized"] = {
+            k: round(v * ratio, 3) for k, v in times.items()
+        }
+        payload["value_normalized"] = round(
+            sum(payload["queries_normalized"].values()), 3
+        )
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         payload["scaling"] = run_scaling()
         payload["scaling_efficiency"] = payload["scaling"]["efficiency"]
@@ -496,6 +676,7 @@ def main() -> None:
             levels=(8, 32), max_attempts=2, turns=BENCH_TURNS_832
         )
     write_baseline_md(payload)
+    append_cached_sections()
     print(json.dumps(payload))
 
 
