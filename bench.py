@@ -236,7 +236,7 @@ def _hw_rate(n: int) -> float:
         return (n * 4) / (time.perf_counter() - t0)
 
 
-def _scaling_attempt(levels, table, turns) -> dict:
+def _scaling_attempt(levels, table, turns, extra_conf=None) -> dict:
     results = {}
     # Shuffle dirs on tmpfs for every child: local-mode shuffle files
     # otherwise hit the shared virtio disk, which serializes the high-
@@ -248,6 +248,8 @@ def _scaling_attempt(levels, table, turns) -> dict:
     shm = "/dev/shm/spark-local-bench"
     os.makedirs(shm, exist_ok=True)
     env["SPARK_LOCAL_DIRS"] = shm
+    if extra_conf:
+        env["SPARK_GRAFT_EXTRA_CONF"] = json.dumps(extra_conf)
     for cpus in levels:
         hw = _hw_rate(cpus)  # capacity in the same window as the child
         out = subprocess.run(
@@ -282,7 +284,12 @@ def _scaling_attempt(levels, table, turns) -> dict:
     }
 
 
-def run_scaling(levels=(1, 4), max_attempts: int = 3, turns: int | None = None) -> dict:
+def run_scaling(
+    levels=(1, 4),
+    max_attempts: int = 3,
+    turns: int | None = None,
+    extra_conf: dict | None = None,
+) -> dict:
     """Noisy-neighbor-robust scaling measurement: each level's child is
     paired with a same-window hardware-capacity probe; while the RAW
     efficiency misses 0.8 the measurement is retried (this VM's
@@ -300,7 +307,7 @@ def run_scaling(levels=(1, 4), max_attempts: int = 3, turns: int | None = None) 
     turns = ds.dataset(table, format="parquet").count_rows()
     attempts = []
     for _ in range(max_attempts):
-        a = _scaling_attempt(levels, table, turns)
+        a = _scaling_attempt(levels, table, turns, extra_conf=extra_conf)
         attempts.append(a)
         if a["efficiency"] >= 0.8:
             break
@@ -672,8 +679,17 @@ def main() -> None:
         # the measured single-box ceiling with its same-window capacity
         # probe (round-2 verdict item 5: one authoritative story, both
         # pairs measured).
+        # 64 fixed shuffle partitions for BOTH legs: the best-absolute-
+        # time config from the --shuffle-matrix experiment (round-4;
+        # BENCH/shuffle_matrix.json — -17% local[32] wall time and
+        # +0.08 raw efficiency vs the 4×cores default; zstd measured
+        # strictly worse).  A per-job shuffle-partition setting is a
+        # normal submit-time knob on a real cluster.
         payload["scaling_8_32"] = run_scaling(
-            levels=(8, 32), max_attempts=2, turns=BENCH_TURNS_832
+            levels=(8, 32),
+            max_attempts=2,
+            turns=BENCH_TURNS_832,
+            extra_conf={"spark.sql.shuffle.partitions": "64"},
         )
     write_baseline_md(payload)
     append_cached_sections()
