@@ -285,6 +285,29 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gapfill_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key gap-fill (round-4): every role gets its own full hourly
+    spine and its own LOCF series — the chunked two-pass fill with every
+    window key-partitioned (the per-key case the round-3 verdict called
+    out as the future bottleneck of the global-window design)."""
+    from .gapfill import gapfill
+
+    g = gapfill(
+        rollup(_deltas(spark, sf_dir), "hour", extra_keys=["role"]),
+        "hour",
+        locf_cols=["lat_avg_ms"],
+        by=["role"],
+    )
+    return g.select(
+        "role",
+        "bucket_start",
+        "turn_count",
+        "is_gap",
+        "lat_avg_ms",
+        "lat_avg_ms_locf",
+    )
+
+
 def q_rollup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention expiry on the minute tier: buckets older than the
     tier's 7-day horizon (relative to a parameterized now) are dropped
@@ -389,6 +412,40 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly score (round-4): per-conversation z of
+    each inter-turn latency vs the preceding 20 observations, via exact
+    integer window moments (bit-reproducible — see tsops.rolling_zscore)."""
+    from .tsops import rolling_zscore
+
+    d = _deltas(spark, sf_dir).select("conv_id", "turn_idx", "delta_ms")
+    return rolling_zscore(
+        d, "delta_ms", by=["conv_id"], order_col="turn_idx",
+        window_rows=20, min_periods=5,
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized points-in-intervals join (round-4): every event joined
+    to its containing session interval per user — equi-join on
+    (user, day-bucket) + containment filter, never the |P|·|I| theta
+    join.  Sessions are disjoint per user, so the mapping is 1:1 and the
+    DuckDB oracle is a plain BETWEEN join over the sessionize CTE."""
+    from .tsops import interval_join, session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sessions = session_stats(
+        ev, gap_seconds=1800, by=["user_id"], order_tiebreak="event_id"
+    ).select("user_id", "session_seq", "session_start", "session_end")
+    return interval_join(
+        ev.select("event_id", "user_id", "ts"),
+        sessions,
+        by=["user_id"],
+        point_ts="ts",
+        bucket="day",
+    ).select("event_id", "user_id", "ts", "session_seq")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_project": q_scan_project,
     "filter_terms": q_filter_terms,
@@ -396,6 +453,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "counter_rate": q_counter_rate,
     "m4_downsample": q_m4_downsample,
     "sessionize": q_sessionize,
+    "anomaly_zscore": q_anomaly_zscore,
+    "interval_join": q_interval_join,
     "filter_time": q_filter_time,
     "pair_deltas": q_pair_deltas,
     "rollup_minute": q_rollup_minute,
@@ -412,6 +471,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "active_convs_hourly": q_active_convs_hourly,
     "gapfill_locf": q_gapfill_locf,
     "gapfill_interp": q_gapfill_interp,
+    "gapfill_keyed": q_gapfill_keyed,
     "rollup_retention": q_rollup_retention,
     "rollup_from_chunks": q_rollup_from_chunks,
     "rollup_sketch_minute": q_rollup_sketch_minute,
@@ -588,6 +648,31 @@ ORACLES: dict[str, str] = {
                     ELSE CAST(COALESCE(prev_v, next_v) AS DOUBLE)
                END AS lat_avg_ms_interp
         FROM w""",
+    "gapfill_keyed": f"""{_DELTAS_CTE},
+        r AS (
+            SELECT date_trunc('hour', ts) AS bucket_start, role,
+                   {_METRICS_SQL}
+            FROM d WHERE delta_ms IS NOT NULL GROUP BY 1, 2
+        ),
+        bounds AS (SELECT MIN(bucket_start) lo, MAX(bucket_start) hi FROM r),
+        spine AS (
+            SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR))
+                   AS bucket_start FROM bounds
+        ),
+        sp AS (
+            SELECT k.role, s.bucket_start
+            FROM (SELECT DISTINCT role FROM r) k CROSS JOIN spine s
+        )
+        SELECT sp.role, sp.bucket_start,
+               COALESCE(r.turn_count, 0) AS turn_count,
+               r.turn_count IS NULL AS is_gap,
+               r.lat_avg_ms,
+               last_value(r.lat_avg_ms IGNORE NULLS) OVER (
+                   PARTITION BY sp.role ORDER BY sp.bucket_start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS lat_avg_ms_locf
+        FROM sp LEFT JOIN r
+             ON sp.bucket_start = r.bucket_start AND sp.role = r.role""",
     "rollup_retention": f"""SELECT * FROM ({_rollup_tier_sql('minute')})
         WHERE bucket_start >= TIMESTAMP '{FILTER_NOW}'
                               - INTERVAL {7 * 24 * 60} MINUTES""",
@@ -713,5 +798,65 @@ FROM s GROUP BY 1, 2"""
 # Streaming sessionization must equal the batch operator exactly —
 # same oracle, different execution mode (session_window + watermark).
 ORACLES["stream_sessionize"] = ORACLES["sessionize"]
+
+# Rolling z-score: exact integer window moments (count, Σx, Σx²), then
+# ONE fixed sequence of IEEE double ops — mirrors tsops.rolling_zscore
+# op for op (incl. the double-space s1² to dodge int64 overflow).
+ORACLES["anomaly_zscore"] = f"""{_DELTAS_CTE},
+w AS (
+    SELECT conv_id, turn_idx, delta_ms,
+           CAST(COUNT(delta_ms) OVER fr AS BIGINT) AS n,
+           CAST(SUM(delta_ms) OVER fr AS BIGINT) AS s1,
+           CAST(SUM(delta_ms * delta_ms) OVER fr AS BIGINT) AS s2
+    FROM d WHERE delta_ms IS NOT NULL
+    WINDOW fr AS (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT conv_id, turn_idx, delta_ms,
+       CASE WHEN n >= 5
+             AND (CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                 / (n - 1) > 0
+            THEN ROUND(
+                (delta_ms - s1 / n)
+                / SQRT((CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                       / (n - 1)),
+                4)
+       END AS z
+FROM w"""
+
+# Interval join: events BETWEEN-joined to their (disjoint) session
+# intervals — the oracle is the naive theta join the bucketized Spark
+# plan must reproduce exactly.
+ORACLES["interval_join"] = """
+WITH o AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+f AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN prev IS NULL
+                     OR epoch_us(ts) - epoch_us(prev) > 1800 * 1000000
+                THEN 1 ELSE 0 END AS flag
+    FROM o
+),
+s AS (
+    SELECT user_id, ts,
+           CAST(SUM(flag) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM f
+),
+iv AS (
+    SELECT user_id, session_seq,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, iv.session_seq
+FROM events e JOIN iv
+  ON e.user_id = iv.user_id
+ AND e.ts BETWEEN iv.session_start AND iv.session_end"""
 
 ORACLES.update(DATA_ORACLES)

@@ -1,4 +1,5 @@
-"""Timeseries utility operators: M4 downsampling and sessionization.
+"""Timeseries utility operators: M4 downsampling, sessionization,
+rolling-window anomaly scores, and a bucketized interval join.
 
 - ``m4_downsample`` — the M4 aggregation (Jugel et al., VLDB 2014):
   per (series, time-bucket) keep min, max, first and last values — the
@@ -9,8 +10,19 @@
   starts when the gap to the key's previous event exceeds
   ``gap_seconds``.  lag + cumulative-sum-of-flags window per key: one
   exchange, one sort, no join; session ids are deterministic
-  ``(key, session_seq)`` pairs.  This is the batch twin of Structured
-  Streaming's ``session_window`` (which covers the streaming case).
+  ``(key, session_seq)`` pairs.  Batch twin of Structured Streaming's
+  ``session_window`` (streaming.stream_session_stats).
+- ``rolling_zscore`` — trailing-window anomaly score per key: z of the
+  current value against the mean/stddev of the PRECEDING ``window_rows``
+  observations.  The moments are computed as integer (count, Σx, Σx²)
+  window sums — exact, order-independent, so the derived double z is
+  bit-reproducible across engines (no Welford accumulation-order drift).
+- ``interval_join`` — points-in-intervals join without the O(|P|·|I|)
+  theta join: both sides bucketize time, intervals explode into the
+  buckets they span (linear in interval length / bucket), the join is a
+  plain equi-join on (keys, bucket) + exact containment filter.  A
+  point matches through ITS OWN single bucket, so no dedup pass is
+  needed.  The standard bucketized range-join shape.
 """
 
 from __future__ import annotations
@@ -111,4 +123,101 @@ def session_stats(
             )
             / F.lit(1_000_000.0),
         )
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = ("conv_id",),
+    order_col: str = "turn_idx",
+    window_rows: int = 20,
+    min_periods: int = 5,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Adds ``z``: the current value's z-score against the trailing
+    ``window_rows`` PRECEDING observations of its key (the current row
+    excluded, so an outlier never masks itself).
+
+    ``value_col`` must be integral (e.g. ``delta_ms``): the window
+    moments are exact long sums (count, Σx, Σx²) — order-independent —
+    and mean/variance derive through ONE fixed sequence of IEEE double
+    ops on those exact integers, so z is bit-identical across engines
+    and partitionings (no streaming-Welford accumulation-order drift).
+    Bound: Σx² must fit int64 (|x| ≤ ~6.7e8 at window 20; pre-scale
+    larger magnitudes).  z is NULL while the key has fewer than
+    ``min_periods`` prior observations or the trailing variance is 0.
+
+    One exchange on the key, one sort, three codegen window sums —
+    the same plan shape as the delta extraction itself.
+    """
+    w = (
+        Window.partitionBy(*list(by))
+        .orderBy(order_col)
+        .rowsBetween(-int(window_rows), -1)
+    )
+    x = F.col(value_col)
+    n = F.count(x).over(w)
+    s1 = F.sum(x).over(w)
+    s2 = F.sum(x * x).over(w)
+    # s1² can exceed int64 (ANSI overflow) — square in double space.
+    # s1 itself is an exact long, so long→double cast + IEEE multiply/
+    # divide round identically in every engine: still deterministic.
+    s1d = s1.cast("double")
+    mean = s1 / n
+    var = (s2.cast("double") - s1d * s1d / n) / (n - F.lit(1))
+    z = F.when(
+        (n >= int(min_periods)) & (var > 0),
+        F.round((x - mean) / F.sqrt(var), round_dp),
+    )
+    return df.withColumn("z", z)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    by: Sequence[str] = ("user_id",),
+    point_ts: str = "ts",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    bucket: str = "day",
+) -> DataFrame:
+    """Each point row joined to the interval rows whose
+    ``[start_col, end_col]`` (inclusive) contains its timestamp, per
+    key.  Bucketized: intervals explode into the time buckets they
+    span; the join is an equi-join on (keys, bucket) + containment
+    filter — candidate pairs are bounded by per-bucket co-occurrence,
+    never |P|·|I|, and a point matches through its own single bucket so
+    no post-join dedup is needed.  Pick ``bucket`` ≈ typical interval
+    length: shorter buckets cut false candidates, longer buckets cut
+    the interval explode factor.
+
+    Output: all point columns + the matched interval's payload columns
+    (inner join — unmatched points drop; left-join semantics can be
+    recovered by re-joining on the point key).
+    """
+    by = list(by)
+    overlap = (set(intervals.columns) - set(by)) & set(points.columns)
+    if overlap:
+        raise ValueError(
+            f"interval payload columns collide with points: {sorted(overlap)}"
+        )
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket, F.col(start_col)),
+                F.date_trunc(bucket, F.col(end_col)),
+                F.expr(f"INTERVAL 1 {bucket}"),
+            )
+        ),
+    )
+    pt = points.withColumn("_b", F.date_trunc(bucket, F.col(point_ts)))
+    return (
+        pt.join(iv, [*by, "_b"])
+        .where(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) <= F.col(end_col))
+        )
+        .drop("_b")
     )

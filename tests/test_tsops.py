@@ -86,3 +86,88 @@ def test_session_stats(spark):
         ("u", 2): (1, 0.0),
         ("v", 1): (1, 0.0),
     }
+
+
+def test_rolling_zscore_pinned(spark):
+    """Window of 3, min_periods 2: values 10,10,10,40 — the 40 scores
+    z = (40-10)/0 → var 0 → NULL; 10,20,30,100 → z of 100 vs
+    mean 20, var 100 → (100-20)/10 = 8.0.  Current row never in its own
+    window."""
+    from rollup_engine.tsops import rolling_zscore
+
+    rows = [("a", i, v) for i, v in enumerate([10, 20, 30, 100])]
+    rows += [("b", i, v) for i, v in enumerate([10, 10, 10, 40])]
+    df = spark.createDataFrame(rows, "conv_id: string, turn_idx: int, delta_ms: long")
+    out = {
+        (r.conv_id, r.turn_idx): r.z
+        for r in rolling_zscore(
+            df, "delta_ms", by=["conv_id"], order_col="turn_idx",
+            window_rows=3, min_periods=2,
+        ).collect()
+    }
+    assert out[("a", 0)] is None          # no history
+    assert out[("a", 1)] is None          # 1 < min_periods
+    # row 2: history [10,20] → mean 15, var 50 → (30-15)/√50 = 2.1213
+    assert out[("a", 2)] == 2.1213
+    # row 3: history [10,20,30] → mean 20, var 100 → (100-20)/10 = 8.0
+    assert out[("a", 3)] == 8.0
+    assert out[("b", 3)] is None          # zero variance window
+
+
+def test_rolling_zscore_stable_under_repartition(spark):
+    from rollup_engine.tsops import rolling_zscore
+
+    rows = [("c%d" % (i % 7), i // 7, (i * 37) % 1000) for i in range(700)]
+    df = spark.createDataFrame(rows, "conv_id: string, turn_idx: int, delta_ms: long")
+    a = rolling_zscore(df, "delta_ms", by=["conv_id"], order_col="turn_idx")
+    b = rolling_zscore(
+        df.repartition(13), "delta_ms", by=["conv_id"], order_col="turn_idx"
+    )
+    key = lambda r: (r.conv_id, r.turn_idx)
+    assert sorted(a.collect(), key=key) == sorted(b.collect(), key=key)
+
+
+def test_interval_join_boundaries_and_bucket_crossing(spark):
+    """Inclusive on both endpoints; an interval spanning multiple day
+    buckets still matches points in every spanned day; non-overlapping
+    points drop (inner join); per-key isolation."""
+    from rollup_engine.tsops import interval_join
+
+    points = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01T10:00:00")),   # == start, inclusive
+            (2, "a", _ts("2024-01-02T12:00:00")),   # mid, next day bucket
+            (3, "a", _ts("2024-01-03T06:00:00")),   # == end, inclusive
+            (4, "a", _ts("2024-01-03T06:00:01")),   # 1s past end — drops
+            (5, "b", _ts("2024-01-02T12:00:00")),   # other key — drops
+        ],
+        "event_id: long, user_id: string, ts: timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [("a", 7, _ts("2024-01-01T10:00:00"), _ts("2024-01-03T06:00:00"))],
+        "user_id: string, session_seq: long, session_start: timestamp,"
+        " session_end: timestamp",
+    )
+    got = sorted(
+        r.event_id
+        for r in interval_join(points, intervals, by=["user_id"]).collect()
+    )
+    assert got == [1, 2, 3]
+
+
+def test_interval_join_collision_raises(spark):
+    import pytest
+
+    from rollup_engine.tsops import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01T10:00:00"))],
+        "event_id: long, user_id: string, ts: timestamp",
+    )
+    bad = spark.createDataFrame(
+        [("a", _ts("2024-01-01T00:00:00"), _ts("2024-01-02T00:00:00"), 9)],
+        "user_id: string, session_start: timestamp, session_end: timestamp,"
+        " event_id: long",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(points, bad, by=["user_id"])
