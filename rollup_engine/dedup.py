@@ -391,3 +391,71 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Near-dup CLUSTER resolution: connected components over the pair
+    edges, ``cluster_id`` = the smallest doc id in each component
+    (singletons map to themselves).  Canonical-survivor selection for a
+    training set is then ``WHERE doc_id = cluster_id``.
+
+    Min-label propagation: every iteration each node takes the minimum
+    of its own label and its neighbors' labels (one join + one groupBy
+    over the edge list), stopping at the first iteration with zero
+    changes.  Converges in ≤ component-diameter rounds — near-dup
+    components are clique-ish (every member pairs with most others), so
+    a handful of rounds suffices; for adversarially long path graphs at
+    web scale, swap in the large-star/small-star variant (O(log n)
+    rounds, same join shape).  Iterative by nature: each round runs a
+    convergence-count action and persists its labels (documented
+    exception to the plan-pure rule — cf. GraphX connected components).
+
+    Raises if not converged within ``max_iters`` (never returns a
+    silently-partial clustering).
+    """
+    ids = df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    half = pairs.select(
+        F.col("id_a").cast("long").alias("a"), F.col("id_b").cast("long").alias("b")
+    )
+    edges = (
+        half.unionByName(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = ids.select("id", F.col("id").alias("label")).persist()
+    labels.count()
+    try:
+        for _ in range(max_iters):
+            prop = edges.join(
+                labels.select(F.col("id").alias("a"), "label"), "a"
+            ).select(F.col("b").alias("id"), "label")
+            new_labels = (
+                labels.unionByName(prop)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+                .persist()
+            )
+            changed = (
+                labels.alias("o")
+                .join(new_labels.alias("n"), "id")
+                .where(F.col("o.label") != F.col("n.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select(
+                    F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+                )
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} iterations "
+            "(pathologically long component — use the large-star/"
+            "small-star variant)"
+        )
+    finally:
+        edges.unpersist()

@@ -82,6 +82,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution (round-4): connected components over
+    the MinHash-LSH pair edges, cluster_id = min doc id per component
+    (singletons self-map) — the step that turns pair lists into
+    keep-one-per-cluster training-set selection.  Oracle: DuckDB
+    recursive-CTE transitive closure over the exact-Jaccard pair set at
+    the same threshold (pair sets agree per the dedup_minhash_lsh
+    gate's recall argument)."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.7)
+    return dedup.dedup_clusters(docs, pairs)
+
+
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir)
     qv = [float(x) for x in e.where("vec_id = 0").first()["embedding"]]
@@ -150,6 +163,15 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.knn_join(e, e.where("vec_id < 8"), k=5)
 
 
+def q_knn_join_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_join with the query side split into 3 hash shards (round-4):
+    bounded per-shard broadcasts, per-shard WindowGroupLimit top-k,
+    unioned.  Must equal the unsharded join — shares its oracle (the
+    indexed-ANN-gate pattern: same result, different plan)."""
+    e = _embs(spark, sf_dir)
+    return ann.knn_join(e, e.where("vec_id < 8"), k=5, query_shards=3)
+
+
 def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate batch kNN join via multiprobe signature equi-join,
     exact re-rank per query.  Oracle: the seeded hyperplanes embedded
@@ -213,6 +235,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
@@ -220,6 +243,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_indexed": q_ann_lsh_indexed,
     "ann_ivf_indexed": q_ann_ivf_indexed,
     "knn_join": q_knn_join,
+    "knn_join_sharded": q_knn_join_sharded,
     "knn_join_lsh": q_knn_join_lsh,
     "embedding_pairs": q_embedding_pairs,
     "embedding_pairs_exact": q_embedding_pairs_exact,
@@ -493,6 +517,22 @@ DATA_ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": _SHINGLES_CTE
     + """
     SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.7""",
+    # transitive closure over the same pair set; LEAST folds self in
+    "dedup_clusters": _SHINGLES_CTE.replace("WITH norm", "WITH RECURSIVE norm", 1)
+    + """
+    , p AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.7),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    ),
+    m AS (SELECT a AS doc_id, MIN(b) AS mn FROM reach GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS BIGINT)
+               AS cluster_id
+    FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""",
     "ann_bruteforce": """
     WITH q AS (
         SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id = 0
@@ -536,6 +576,8 @@ DATA_ORACLES: dict[str, str] = {
     "ann_lsh_indexed": _ann_lsh_oracle_sql(nbits=12, hamming_radius=4, k=10),
     "ann_ivf_indexed": _ann_ivf_oracle_sql(n_centroids=16, nprobe=4, k=10),
     "knn_join": _knn_join_oracle_sql(n_queries=8, k=5),
+    # sharding must not change results — oracle reused verbatim
+    "knn_join_sharded": _knn_join_oracle_sql(n_queries=8, k=5),
     "knn_join_lsh": _knn_join_lsh_oracle_sql(
         n_queries=8, k=5, nbits=12, hamming_radius=4
     ),

@@ -450,3 +450,35 @@ def test_knn_join_lsh_recall(spark):
     truth = {(r.query_id, r.vec_id) for r in exact}
     got = {(r.query_id, r.vec_id) for r in approx}
     assert len(truth & got) / len(truth) >= 0.8
+
+
+def test_dedup_clusters_components(spark):
+    """Chain 1-2, 2-3 plus pair 10-11 → components {1,2,3}→1,
+    {10,11}→10; untouched docs are singletons."""
+    from rollup_engine.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in (1, 2, 3, 10, 11, 99)], "doc_id: long, text: string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a: long, id_b: long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    from rollup_engine.dedup import dedup_clusters
+
+    n = 8  # path graph of diameter 7
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(n)], "doc_id: long, text: string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a: long, id_b: long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup_clusters(docs, pairs, max_iters=2)
+    # and with enough rounds the path collapses to one cluster
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs).collect()}
+    assert set(got.values()) == {0}

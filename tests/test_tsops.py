@@ -171,3 +171,22 @@ def test_interval_join_collision_raises(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         interval_join(points, bad, by=["user_id"])
+
+
+def test_rolling_zscore_single_exchange(spark):
+    """One hash exchange on the key, three window sums in one Window
+    node — the same plan shape as the delta extraction itself."""
+    from rollup_engine.tsops import rolling_zscore
+
+    df = spark.createDataFrame(
+        [("a", 1, 10)], "conv_id: string, turn_idx: int, delta_ms: long"
+    )
+    out = rolling_zscore(df, "delta_ms", by=["conv_id"], order_col="turn_idx")
+    import re
+
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # count the numbered node list ("(3) Exchange"), not the tree echo
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1, plan
