@@ -147,9 +147,12 @@ def _percentile_aggs() -> list[Column]:
     ]
 
 
-def _finalize_from_hist_rows(h: DataFrame, max_bins: int) -> DataFrame:
-    """(bucket_start, _v, _c, _e4, _e5, _xmin, _xmax, _xsum) → one
-    finished row per bucket, as ONE lazy plan.
+def _finalize_from_hist_rows(
+    h: DataFrame, max_bins: int, extra_keys: list[str] | None = None
+) -> DataFrame:
+    """(bucket_start, *extra_keys, _v, _c, _e4, _e5, _xmin, _xmax,
+    _xsum) → one finished row per (bucket, keys) group, as ONE lazy
+    plan.
 
     Input contract: one row per (bucket_start, _v); the _x* columns are
     the mergeable exact carries (min/max/sum-of-products contributions —
@@ -168,18 +171,19 @@ def _finalize_from_hist_rows(h: DataFrame, max_bins: int) -> DataFrame:
     the returned DataFrame runs NO job (plan-pinned by
     tests/test_plans.py::test_hist_plan_build_runs_no_jobs).
     """
-    w = Window.partitionBy("bucket_start")
+    grp = ["bucket_start", *(extra_keys or [])]
+    w = Window.partitionBy(*grp)
     h2 = h.withColumn("_nd", F.count(F.lit(1)).over(w))
     qv = (
         F.when(F.col("_nd") <= F.lit(max_bins), F.col("_v"))
         .otherwise(dd_quantize(F.col("_v")))
     )
     # Re-group on the (possibly quantized) value.  Data is already
-    # hash-partitioned by bucket_start from the window exchange, which
-    # co-locates (bucket_start, _v) — no further exchange.
+    # hash-partitioned by the group keys from the window exchange, which
+    # co-locates (keys, _v) — no further exchange.
     h3 = (
         h2.select(
-            "bucket_start",
+            *grp,
             qv.alias("_v"),
             "_c",
             "_e4",
@@ -188,7 +192,7 @@ def _finalize_from_hist_rows(h: DataFrame, max_bins: int) -> DataFrame:
             "_xmax",
             "_xsum",
         )
-        .groupBy("bucket_start", "_v")
+        .groupBy(*grp, "_v")
         .agg(
             F.sum("_c").alias("_c"),
             F.sum("_e4").alias("_e4"),
@@ -198,27 +202,30 @@ def _finalize_from_hist_rows(h: DataFrame, max_bins: int) -> DataFrame:
             F.sum("_xsum").alias("_xsum"),
         )
     )
-    return _finalize_exact(h3)
+    return _finalize_exact(h3, extra_keys)
 
 
-def _finalize_exact(h: DataFrame) -> DataFrame:
+def _finalize_exact(
+    h: DataFrame, extra_keys: list[str] | None = None
+) -> DataFrame:
     """Finalize hist rows whose per-bucket row count is already bounded:
     the cumsum window task is ≤ max(max_bins, 2·DD_MAX_BINS+1) rows per
     bucket.  Scalars come from the exact carries, percentiles from the
     (possibly quantized) values."""
+    grp = ["bucket_start", *(extra_keys or [])]
     w_cum = (
-        Window.partitionBy("bucket_start")
+        Window.partitionBy(*grp)
         .orderBy("_v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy("bucket_start")
+    w_all = Window.partitionBy(*grp)
     h2 = h.withColumn("_cum", F.sum("_c").over(w_cum)).withColumn(
         "_n", F.sum("_c").over(w_all)
     )
     pairs = F.sort_array(
         F.collect_list(F.struct(F.col("_v").alias("v"), F.col("_c").alias("c")))
     )
-    agg = h2.groupBy("bucket_start").agg(
+    agg = h2.groupBy(*grp).agg(
         F.sum("_c").alias("turn_count"),
         F.min("_xmin").alias("lat_min_ms"),
         F.max("_xmax").alias("lat_max_ms"),
@@ -238,7 +245,9 @@ def _finalize_exact(h: DataFrame) -> DataFrame:
             "tdigest": F.lit(None).cast("binary"),
         }
     )
-    return agg.select(*[f.name for f in HIST_ROLLUP_FIELDS])
+    return agg.select(
+        *grp, *[f.name for f in HIST_ROLLUP_FIELDS if f.name != "bucket_start"]
+    )
 
 
 def narrow_for_rollup(transcripts: DataFrame) -> DataFrame:
@@ -265,19 +274,26 @@ def hist_rollup(
     tier: str = "minute",
     delta_col: str = DELTA_COL,
     max_bins: int = sketches.HIST_MAX_BINS,
+    extra_keys: list[str] | None = None,
 ) -> DataFrame:
-    """Exact-tier rollup with JVM-resident mergeable histogram state."""
+    """Exact-tier rollup with JVM-resident mergeable histogram state.
+
+    ``extra_keys``: optional breakdown columns (e.g. ``["role"]``) —
+    every stage groups/partitions by (bucket, keys); same plan shape,
+    finer groups."""
     t = TIERS[tier]
+    keys = list(extra_keys or [])
     has_flags = "_e4" in deltas.columns
     h = (
         deltas.select(
             F.date_trunc(t.duckdb_trunc, F.col("ts")).alias("bucket_start"),
+            *[F.col(k) for k in keys],
             F.col(delta_col).alias("_v"),
             (F.col("_e4") if has_flags else error_flag(ERR4).cast("long")).alias("_e4"),
             (F.col("_e5") if has_flags else error_flag(ERR5).cast("long")).alias("_e5"),
         )
         .where(F.col("_v").isNotNull())  # COUNT(measure) null-skip semantics
-        .groupBy("bucket_start", "_v")
+        .groupBy("bucket_start", *keys, "_v")
         .agg(
             F.count(F.lit(1)).alias("_c"),
             F.sum("_e4").alias("_e4"),
@@ -291,13 +307,18 @@ def hist_rollup(
             }
         )
     )
-    out = _finalize_from_hist_rows(h, max_bins)
+    out = _finalize_from_hist_rows(h, max_bins, extra_keys=keys)
     return out.withColumn("tier", F.lit(tier)).select(
-        "tier", *[f.name for f in HIST_ROLLUP_FIELDS]
+        "tier",
+        "bucket_start",
+        *keys,
+        *[f.name for f in HIST_ROLLUP_FIELDS if f.name != "bucket_start"],
     )
 
 
-def hist_cascade(rollup_df: DataFrame, to_tier: str) -> DataFrame:
+def hist_cascade(
+    rollup_df: DataFrame, to_tier: str, extra_keys: list[str] | None = None
+) -> DataFrame:
     """Re-aggregate a finer hist-rollup tier into ``to_tier`` without
     touching raw data — one lazy plan, no driver actions.
 
@@ -312,6 +333,7 @@ def hist_cascade(rollup_df: DataFrame, to_tier: str) -> DataFrame:
     documented γ bound otherwise.
     """
     t = TIERS[to_tier]
+    keys = list(extra_keys or [])
     target = F.date_trunc(t.duckdb_trunc, F.col("bucket_start"))
     first = F.col("_pos") == 0
     # posexplode silently DROPS null-array rows, which would vanish a
@@ -333,6 +355,7 @@ def hist_cascade(rollup_df: DataFrame, to_tier: str) -> DataFrame:
     h = (
         guarded.select(
             target.alias("bucket_start"),
+            *keys,
             F.posexplode("hist").alias("_pos", "_e"),
             "err4xx_cnt",
             "err5xx_cnt",
@@ -342,6 +365,7 @@ def hist_cascade(rollup_df: DataFrame, to_tier: str) -> DataFrame:
         )
         .select(
             "bucket_start",
+            *keys,
             F.col("_e.v").alias("_v"),
             F.col("_e.c").alias("_c"),
             # attribute the source bucket's exact carries once (pos 0)
@@ -361,7 +385,7 @@ def hist_cascade(rollup_df: DataFrame, to_tier: str) -> DataFrame:
         # (repartition(bucket) then window) that would shuffle the
         # exploded rows uncombined (measured equal at sf0.1; combine
         # wins at scale).
-        .groupBy("bucket_start", "_v")
+        .groupBy("bucket_start", *keys, "_v")
         .agg(
             F.sum("_c").alias("_c"),
             F.sum("_e4").alias("_e4"),
@@ -371,7 +395,12 @@ def hist_cascade(rollup_df: DataFrame, to_tier: str) -> DataFrame:
             F.sum("_xsum").alias("_xsum"),
         )
     )
-    out = _finalize_from_hist_rows(h, max_bins=sketches.HIST_MAX_BINS)
+    out = _finalize_from_hist_rows(
+        h, max_bins=sketches.HIST_MAX_BINS, extra_keys=keys
+    )
     return out.withColumn("tier", F.lit(to_tier)).select(
-        "tier", *[f.name for f in HIST_ROLLUP_FIELDS]
+        "tier",
+        "bucket_start",
+        *keys,
+        *[f.name for f in HIST_ROLLUP_FIELDS if f.name != "bucket_start"],
     )

@@ -412,6 +412,18 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_by_role_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed breakdown through the ALL-JVM hist engine (round-4):
+    hist_rollup(extra_keys=['role']) must equal the plain SQL keyed
+    rollup exactly — reuses the rollup_by_role oracle verbatim (same
+    result, different engine; the sketch-path precedent)."""
+    from .hist_rollup import hist_rollup
+
+    return hist_rollup(
+        _deltas(spark, sf_dir), "hour", extra_keys=["role"]
+    ).select("tier", "bucket_start", "role", *_STD_COLS[2:])
+
+
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-window anomaly score (round-4): per-conversation z of
     each inter-turn latency vs the preceding 20 observations, via exact
@@ -479,6 +491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_day_cascade": q_rollup_day_cascade,
     "rollup_salted": q_rollup_salted,
     "rollup_by_role": q_rollup_by_role,
+    "rollup_by_role_hist": q_rollup_by_role_hist,
 }
 
 from .queries_data import DATA_ORACLES, DATA_QUERIES  # noqa: E402
@@ -798,6 +811,10 @@ FROM s GROUP BY 1, 2"""
 # Streaming sessionization must equal the batch operator exactly —
 # same oracle, different execution mode (session_window + watermark).
 ORACLES["stream_sessionize"] = ORACLES["sessionize"]
+
+# Keyed hist-engine rollup must equal the plain SQL keyed rollup —
+# same oracle, different engine (the sketch/cascade-gate precedent).
+ORACLES["rollup_by_role_hist"] = ORACLES["rollup_by_role"]
 
 # Rolling z-score: exact integer window moments (count, Σx, Σx²), then
 # ONE fixed sequence of IEEE double ops — mirrors tsops.rolling_zscore

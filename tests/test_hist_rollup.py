@@ -51,6 +51,34 @@ def test_hist_cascade_exact(spark):
     )
 
 
+def test_keyed_hist_rollup_and_cascade(spark):
+    """extra_keys: keyed hist tier equals the keyed SQL rollup, and the
+    keyed hour←minute cascade equals a direct keyed hour rollup."""
+    from rollup_engine.rollup import rollup
+
+    d = _deltas(spark)
+    key = ["role"]
+
+    def _p(df):
+        return (
+            df.toPandas()
+            .set_index(["bucket_start", "role"])
+            .sort_index()[METRICS]
+        )
+
+    pd.testing.assert_frame_equal(
+        _p(rollup(d, "hour", extra_keys=key)),
+        _p(hist_rollup(d, "hour", extra_keys=key)),
+        check_dtype=False,
+    )
+    minute = hist_rollup(d, "minute", extra_keys=key)
+    pd.testing.assert_frame_equal(
+        _p(hist_rollup(d, "hour", extra_keys=key)),
+        _p(hist_cascade(minute, "hour", extra_keys=key)),
+        check_dtype=False,
+    )
+
+
 def test_cascade_null_hist_fails_fast(spark):
     """A hist=NULL row (sketch-tier) must raise, not silently vanish its
     counts through posexplode's null-array drop."""
