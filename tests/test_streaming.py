@@ -75,3 +75,63 @@ def test_stream_rollup_and_restart_state(spark, tmp_path):
     assert e.turn_count == 1 and e.err4xx_rate == 1.0
     # batch-1 results still present, not duplicated
     assert got2["2024-01-01T00:00:00"].turn_count == 3
+
+def test_stream_sessionize_restart_state(spark, tmp_path):
+    """session_window state survives a restart: a session left OPEN at
+    the end of pass 1 absorbs pass-2 events within the gap and emits
+    once, merged, when the watermark finally closes it."""
+    from pyspark.sql import types as T
+
+    from rollup_engine.streaming import run_session_stream_once
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+
+    def _write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(tmp_path / "events"))
+
+    def _run():
+        run_session_stream_once(
+            spark,
+            str(tmp_path / "events"),
+            str(tmp_path / "ckpt"),
+            str(tmp_path / "out"),
+            schema=schema,
+            gap_seconds=1800,
+            by=("user_id",),
+        )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # pass 1: user 1 events at 00:00 and 00:10 — session still open
+    # (nothing beats the watermark, so nothing emits yet)
+    _write([(1, t0, 1), (2, t0 + dt.timedelta(minutes=10), 1)])
+    _run()
+
+    # pass 2 after RESTART: +20 min continues the SAME session (gap
+    # 10 min < 30); a far-future sentinel closes it via the watermark
+    _write(
+        [
+            (3, t0 + dt.timedelta(minutes=30), 1),
+            (99, t0 + dt.timedelta(days=30), 42),
+        ]
+    )
+    _run()
+
+    rows = [
+        r
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+        if r.user_id == 1
+    ]
+    assert len(rows) == 1  # one merged session, not two fragments
+    s = rows[0]
+    assert s.n_events == 3
+    assert s.session_start == t0
+    assert s.session_end == t0 + dt.timedelta(minutes=30)
+    assert s.duration_sec == 1800.0
