@@ -404,58 +404,95 @@ def dedup_clusters(
     (singletons map to themselves).  Canonical-survivor selection for a
     training set is then ``WHERE doc_id = cluster_id``.
 
-    Min-label propagation: every iteration each node takes the minimum
-    of its own label and its neighbors' labels (one join + one groupBy
-    over the edge list), stopping at the first iteration with zero
-    changes.  Converges in ≤ component-diameter rounds — near-dup
-    components are clique-ish (every member pairs with most others), so
-    a handful of rounds suffices; for adversarially long path graphs at
-    web scale, swap in the large-star/small-star variant (O(log n)
-    rounds, same join shape).  Iterative by nature: each round runs a
-    convergence-count action and persists its labels (documented
-    exception to the plan-pure rule — cf. GraphX connected components).
+    Algorithm: the alternating large-star / small-star method (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC 2014)
+    — each round is two groupBy-min passes over the edge list and the
+    edge set converges to per-component stars rooted at the minimum
+    node in O(log n) rounds EVEN on pathological path graphs (where
+    naive min-label propagation needs diameter rounds).  Iterative by
+    nature: each round runs a convergence check and persists its edge
+    set (documented exception to the plan-pure rule — cf. GraphX
+    connected components, which uses the same shape).
 
     Raises if not converged within ``max_iters`` (never returns a
-    silently-partial clustering).
+    silently-partial clustering); 25 rounds covers components far
+    beyond any real corpus.
+
+    Each round's edge set is ``localCheckpoint``-ed: without lineage
+    truncation the logical plan doubles per round and Catalyst
+    stack-overflows around round ~10 (the standard iterative-graph
+    pattern — GraphFrames CC does the same).  On a real cluster swap in
+    reliable ``checkpoint()`` (HDFS-backed) so executor loss during the
+    loop stays recoverable.
     """
     ids = df.select(F.col(id_col).cast("long").alias("id")).distinct()
-    half = pairs.select(
-        F.col("id_a").cast("long").alias("a"), F.col("id_b").cast("long").alias("b")
-    )
+    # normalize: (a, b) with a > b, no self-loops — the "points to a
+    # smaller node" orientation both star steps preserve
     edges = (
-        half.unionByName(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        pairs.select(
+            F.greatest(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+            .alias("a"),
+            F.least(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+            .alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = ids.select("id", F.col("id").alias("label")).persist()
-    labels.count()
+    n_edges = edges.count()
     try:
         for _ in range(max_iters):
-            prop = edges.join(
-                labels.select(F.col("id").alias("a"), "label"), "a"
-            ).select(F.col("b").alias("id"), "label")
-            new_labels = (
-                labels.unionByName(prop)
-                .groupBy("id")
-                .agg(F.min("label").alias("label"))
-                .persist()
+            # ---- large-star: every node u links its LARGER neighbors
+            # to m(u) = min(N(u) ∪ {u}) --------------------------------
+            sym = edges.unionByName(
+                edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
             )
-            changed = (
-                labels.alias("o")
-                .join(new_labels.alias("n"), "id")
-                .where(F.col("o.label") != F.col("n.label"))
-                .count()
+            mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+            m = F.least(F.col("a"), F.col("mn"))
+            large = (
+                sym.join(mins, "a")
+                .where(F.col("b") > F.col("a"))
+                # (v, m): v > u ≥ m, so orientation a > b is preserved
+                .select(F.col("b").alias("a"), m.alias("b"))
+                .where(F.col("a") != F.col("b"))
+                .distinct()
             )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
+            # ---- small-star: every node u links its smaller neighbors
+            # (and itself) to its minimum smaller neighbor -------------
+            mins2 = large.groupBy("a").agg(F.min("b").alias("mn"))
+            joined = large.join(mins2, "a")
+            new_edges = (
+                mins2.select("a", F.col("mn").alias("b"))
+                .unionByName(
+                    joined.select(F.col("b").alias("a"), F.col("mn").alias("b"))
+                )
+                .where(F.col("a") != F.col("b"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            new_count = new_edges.count()
+            converged = (
+                new_count == n_edges
+                and new_edges.subtract(edges).count() == 0
+            )
+            edges.unpersist()
+            edges, n_edges = new_edges, new_count
+            if converged:
+                # fixpoint = per-component stars: every non-root node
+                # has a direct (node, root) edge; roots/singletons self
+                labels = ids.join(
+                    edges.select(F.col("a").alias("id"), F.col("b").alias("label")),
+                    "id",
+                    "left",
+                )
                 return labels.select(
-                    F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+                    F.col("id").alias(id_col),
+                    F.coalesce(F.col("label"), F.col("id")).alias("cluster_id"),
                 )
         raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iters} iterations "
-            "(pathologically long component — use the large-star/"
-            "small-star variant)"
+            f"dedup_clusters did not converge in {max_iters} "
+            "large-star/small-star rounds (O(log n) expected — this "
+            "indicates a bug or an astronomically large component)"
         )
     finally:
         edges.unpersist()

@@ -467,10 +467,14 @@ def test_dedup_clusters_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
-def test_dedup_clusters_nonconvergence_raises(spark):
+def test_dedup_clusters_long_path_converges_fast(spark):
+    """A 200-node path graph (diameter 199 — the adversarial case for
+    naive label propagation) must collapse to one cluster within the
+    O(log n) round budget of large-star/small-star, and must fail fast
+    when the round budget is artificially too small."""
     from rollup_engine.dedup import dedup_clusters
 
-    n = 8  # path graph of diameter 7
+    n = 200
     docs = spark.createDataFrame(
         [(i, "x") for i in range(n)], "doc_id: long, text: string"
     )
@@ -478,7 +482,39 @@ def test_dedup_clusters_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(n - 1)], "id_a: long, id_b: long"
     )
     with pytest.raises(RuntimeError, match="converge"):
-        dedup_clusters(docs, pairs, max_iters=2)
-    # and with enough rounds the path collapses to one cluster
+        dedup_clusters(docs, pairs, max_iters=1)
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs).collect()}
-    assert set(got.values()) == {0}
+    assert set(got.values()) == {0} and len(got) == n
+
+
+def test_dedup_clusters_random_vs_union_find(spark):
+    """Seeded random graph: Spark components == pure-python union-find."""
+    from rollup_engine.dedup import dedup_clusters
+
+    rng = np.random.RandomState(19)
+    n, m = 120, 90
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.randint(0, n, size=(m, 2))
+        if a != b
+    ]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(n)], "doc_id: long, text: string"
+    )
+    pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs).collect()}
+    assert got == want
