@@ -190,3 +190,36 @@ def test_rolling_zscore_single_exchange(spark):
     # count the numbered node list ("(3) Exchange"), not the tree echo
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1, plan
+
+
+def test_rolling_zscore_matches_pandas(spark):
+    """Seeded random integer series: z equals an independent pandas
+    implementation (shifted rolling mean/std over the trailing window,
+    current row excluded) to 4 dp."""
+    import numpy as np
+    import pandas as pd
+
+    from rollup_engine.tsops import rolling_zscore
+
+    rng = np.random.RandomState(29)
+    vals = rng.randint(0, 10_000, size=300)
+    pdf = pd.DataFrame(
+        {"conv_id": "k", "turn_idx": range(300), "delta_ms": vals}
+    )
+    W, MP = 20, 5
+    hist = pdf["delta_ms"].shift(1).rolling(W, min_periods=MP)
+    z_want = ((pdf["delta_ms"] - hist.mean()) / hist.std(ddof=1)).round(4)
+    df = spark.createDataFrame(pdf)
+    got = (
+        rolling_zscore(
+            df, "delta_ms", by=["conv_id"], order_col="turn_idx",
+            window_rows=W, min_periods=MP,
+        )
+        .orderBy("turn_idx")
+        .toPandas()["z"]
+    )
+    for g, w in zip(got, z_want):
+        if pd.isna(w):
+            assert g is None or pd.isna(g)
+        else:
+            assert abs(g - w) <= 1e-4, (g, w)
