@@ -437,6 +437,18 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ewma_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA smoothing of inter-turn latency per conversation
+    (round-4): rational decay weights as exact int64s, so numerator and
+    denominator are order-independent integer window sums and the one
+    double division hash-matches the DuckDB oracle bit for bit (see
+    tsops.ewma for the full design rationale)."""
+    from .tsops import ewma
+
+    d = _deltas(spark, sf_dir).select("conv_id", "turn_idx", "delta_ms")
+    return ewma(d, "delta_ms", decay=(7, 10), lags=6)
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized points-in-intervals join (round-4): every event joined
     to its containing session interval per user — equi-join on
@@ -466,6 +478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m4_downsample": q_m4_downsample,
     "sessionize": q_sessionize,
     "anomaly_zscore": q_anomaly_zscore,
+    "ewma_latency": q_ewma_latency,
     "interval_join": q_interval_join,
     "filter_time": q_filter_time,
     "pair_deltas": q_pair_deltas,
@@ -842,6 +855,32 @@ SELECT conv_id, turn_idx, delta_ms,
                 4)
        END AS z
 FROM w"""
+
+def _ewma_oracle_sql(p: int = 7, q: int = 10, lags: int = 6) -> str:
+    """Mirror tsops.ewma: the same exact integer weights p^k·q^(L-k)
+    (order-independent BIGINT sums — immune to either engine's
+    add-chain re-bracketing) and one final BIGINT/BIGINT → DOUBLE
+    division — bit-identical across engines."""
+    num, den = ["CAST(0 AS BIGINT)"], ["CAST(0 AS BIGINT)"]
+    for k in range(lags + 1):
+        x = "delta_ms" if k == 0 else f"lag(delta_ms, {k}) OVER fr"
+        w = p**k * q ** (lags - k)
+        num.append(f"CASE WHEN {x} IS NOT NULL THEN {w} * {x} ELSE 0 END")
+        den.append(f"CASE WHEN {x} IS NOT NULL THEN CAST({w} AS BIGINT) ELSE 0 END")
+    return f"""{_DELTAS_CTE},
+w AS (
+    SELECT conv_id, turn_idx, delta_ms,
+           CAST({" + ".join(num)} AS BIGINT) AS num,
+           CAST({" + ".join(den)} AS BIGINT) AS den
+    FROM d WHERE delta_ms IS NOT NULL
+    WINDOW fr AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx, delta_ms,
+       CASE WHEN den > 0 THEN num / den END AS ewma
+FROM w"""
+
+
+ORACLES["ewma_latency"] = _ewma_oracle_sql(p=7, q=10, lags=6)
 
 # Interval join: events BETWEEN-joined to their (disjoint) session
 # intervals — the oracle is the naive theta join the bucketized Spark

@@ -223,3 +223,34 @@ def test_rolling_zscore_matches_pandas(spark):
             assert g is None or pd.isna(g)
         else:
             assert abs(g - w) <= 1e-4, (g, w)
+
+
+def test_ewma_pinned_and_matches_pandas(spark):
+    """Pinned: constant series → ewma == the constant; ramp series
+    matches pandas ewm(alpha=0.3, adjust=True) truncated at 6 lags."""
+    import numpy as np
+    import pandas as pd
+
+    from rollup_engine.tsops import ewma
+
+    vals = list(range(100, 160, 3))
+    pdf = pd.DataFrame(
+        {"conv_id": "k", "turn_idx": range(len(vals)), "delta_ms": vals}
+    )
+    got = (
+        ewma(spark.createDataFrame(pdf), "delta_ms", decay=(7, 10), lags=6)
+        .orderBy("turn_idx")
+        .toPandas()["ewma"]
+    )
+    # independent reference: explicit truncated weighted mean
+    r = 0.7
+    for t in range(len(vals)):
+        ks = range(min(t, 6) + 1)
+        want = sum(r**k * vals[t - k] for k in ks) / sum(r**k for k in ks)
+        assert abs(got[t] - want) <= 1e-6, (t, got[t], want)
+
+    const = pd.DataFrame(
+        {"conv_id": "c", "turn_idx": range(10), "delta_ms": [42] * 10}
+    )
+    gc = ewma(spark.createDataFrame(const), "delta_ms").toPandas()["ewma"]
+    assert (gc == 42.0).all()
