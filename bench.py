@@ -170,6 +170,8 @@ def run_scaling_child(table: str, cpus: int) -> None:
     )
 
     raw = narrow_for_rollup(spark.read.parquet(table))
+    barrier = os.environ.get("SPARK_GRAFT_BARRIER")
+    child_id = os.environ.get("SPARK_GRAFT_CHILD_ID", "0")
     # THE scaling-relevant job: the raw-data pass (clean → window-lag
     # deltas → minute tier with mergeable histogram state).  Hour/day
     # cascades read only the aggregated tier — their cost is bounded by
@@ -186,7 +188,20 @@ def run_scaling_child(table: str, cpus: int) -> None:
     # sandbox's wall clock jitters ±30% under noisy neighbors (min is
     # the achievable-throughput estimator under interference).
     job()
+    if barrier:
+        # multi-process legs synchronize their timed regions: announce
+        # readiness post-warm-up, then spin for the coordinator's go —
+        # so every child's timed reps overlap with every other's
+        with open(os.path.join(barrier, f"ready_{child_id}"), "w"):
+            pass
+        while not os.path.exists(os.path.join(barrier, "go")):
+            time.sleep(0.05)
     times = sorted(_timed(job) for _ in range(3))
+    if barrier:
+        # skip the cascade section: a child finishing early must not run
+        # extra jobs while siblings are still inside their timed region
+        print(json.dumps({"cpus": cpus, "sec": times[0], "all": times}))
+        return
 
     minute = hist_rollup(with_deltas(clean(raw)), "minute")
     persisted = minute.repartition(4 * cpus, "bucket_start").persist()
@@ -559,6 +574,9 @@ def append_cached_sections() -> None:
     if os.path.exists(_SHUFFLE_CACHE):
         with open(_SHUFFLE_CACHE) as f:
             out += _shuffle_matrix_lines(json.load(f))
+    if os.path.exists(_MULTIPROC_CACHE):
+        with open(_MULTIPROC_CACHE) as f:
+            out += _multiproc_lines(json.load(f))
     if out:
         with open(path, "a") as f:
             f.write("\n".join(out) + "\n")
@@ -576,6 +594,147 @@ SHUFFLE_CONFIGS = {
         "spark.reducer.maxSizeInFlight": "96m",
     },
 }
+
+
+_MULTIPROC_CACHE = os.path.join(REPO, "BENCH", "multiproc_scaling.json")
+
+
+def run_multiproc_scaling(
+    turns: int | None = None, procs: int = 4, cpus_each: int = 8
+) -> dict:
+    """N vs 4N as SEPARATE PROCESSES — the closest this single box gets
+    to real executors.  The bench table is conv-partitioned into 64
+    part files (repartition(64, conv_id): every conversation lives in
+    exactly one file), so splitting the FILES across ``procs`` child
+    JVMs splits the job with zero cross-process traffic — exactly how
+    executors would divide it.  Leg A: one local[cpus_each] JVM over
+    the whole table.  Leg B: ``procs`` concurrent local[cpus_each] JVMs
+    (own heap, GC, shuffle dir) each over its file shard, timed regions
+    barrier-aligned.  efficiency = T_single / (procs × T_concurrent):
+    what the 8→32 scaling would be if the extra cores arrived as
+    EXECUTORS rather than threads in one JVM.  Distinguishes JVM-
+    internal contention (this number high, single-JVM number low) from
+    a true hardware ceiling (both low)."""
+    import glob as globmod
+    import shutil
+
+    table = ensure_bench_table(turns or BENCH_TURNS_832)
+    import pyarrow.dataset as ds
+
+    n = ds.dataset(table, format="parquet").count_rows()
+    files = sorted(globmod.glob(os.path.join(table, "part-*.parquet")))
+    shards = []
+    for i in range(procs):
+        d = os.path.join(REPO, ".benchdata", f"mpshard_{i}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        for f in files[i::procs]:
+            os.symlink(f, os.path.join(d, os.path.basename(f)))
+        shards.append(d)
+
+    env = dict(os.environ)
+    shm = "/dev/shm/spark-local-bench"
+    os.makedirs(shm, exist_ok=True)
+
+    def _single() -> float:
+        e = dict(env)
+        e["SPARK_LOCAL_DIRS"] = shm
+        out = subprocess.run(
+            [sys.executable, __file__, "--scale-child", str(cpus_each), table],
+            capture_output=True, text=True, check=True, env=e,
+        )
+        return json.loads(
+            [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        )["sec"]
+
+    def _concurrent() -> list[float]:
+        barrier = os.path.join(REPO, ".benchdata", "mpbarrier")
+        shutil.rmtree(barrier, ignore_errors=True)
+        os.makedirs(barrier)
+        children = []
+        for i, shard in enumerate(shards):
+            e = dict(env)
+            e["SPARK_GRAFT_BARRIER"] = barrier
+            e["SPARK_GRAFT_CHILD_ID"] = str(i)
+            e["SPARK_LOCAL_DIRS"] = os.path.join(shm, f"mp{i}")
+            os.makedirs(e["SPARK_LOCAL_DIRS"], exist_ok=True)
+            children.append(
+                subprocess.Popen(
+                    [sys.executable, __file__, "--scale-child",
+                     str(cpus_each), shard],
+                    stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                    text=True, env=e,
+                )
+            )
+        while len(os.listdir(barrier)) < procs:
+            time.sleep(0.1)
+        with open(os.path.join(barrier, "go"), "w"):
+            pass
+        secs = []
+        for c in children:
+            out, _ = c.communicate()
+            assert c.returncode == 0, out
+            secs.append(json.loads(
+                [l for l in out.splitlines() if l.startswith("{")][-1]
+            )["sec"])
+        return secs
+
+    hw_a = _hw_rate(cpus_each)
+    t_single = _single()
+    hw_b = _hw_rate(procs * cpus_each)
+    per_child = _concurrent()
+    t_conc = max(per_child)  # barrier-aligned: max ≈ concurrent wall
+    raw = t_single / (procs * t_conc)
+    hw_eff = (hw_b / hw_a) / procs
+    result = {
+        "turns": n,
+        "procs": procs,
+        "cpus_each": cpus_each,
+        "single_proc_sec": round(t_single, 3),
+        "concurrent_sec_per_child": [round(s, 3) for s in per_child],
+        "concurrent_wall_sec": round(t_conc, 3),
+        "hw_single_window": round(hw_a, 2),
+        "hw_concurrent_window": round(hw_b, 2),
+        "efficiency": round(raw, 3),
+        "hw_efficiency": round(hw_eff, 3),
+        "efficiency_normalized": round(raw / hw_eff if hw_eff > 0 else raw, 3),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(_MULTIPROC_CACHE, "w") as f:
+        json.dump(result, f, indent=1)
+    return result
+
+
+def _multiproc_lines(m: dict) -> list[str]:
+    return [
+        "",
+        "## Multi-process scaling — N vs 4N as separate JVMs",
+        "",
+        f"The conv-partitioned bench table ({m['turns']:,} turns, 64 "
+        "part files; every conversation in exactly one file) split "
+        f"across {m['procs']} CONCURRENT local[{m['cpus_each']}] child "
+        "JVMs (own heap/GC/shuffle dir, timed regions barrier-aligned) "
+        f"vs one local[{m['cpus_each']}] JVM over the whole table — the "
+        "closest a single box gets to real executors.  Measured by "
+        "`bench.py --multiproc-scaling`; cached in "
+        "BENCH/multiproc_scaling.json.",
+        "",
+        f"| leg | sec | same-window hw (chunks/s) |",
+        "|---|---|---|",
+        f"| 1 × local[{m['cpus_each']}], full table | "
+        f"{m['single_proc_sec']} | {m['hw_single_window']} |",
+        f"| {m['procs']} × local[{m['cpus_each']}], 1/{m['procs']} table "
+        f"each (wall = max child) | {m['concurrent_wall_sec']} "
+        f"(children: {m['concurrent_sec_per_child']}) | "
+        f"{m['hw_concurrent_window']} |",
+        "",
+        f"**Executor-style scaling efficiency = T_single / "
+        f"({m['procs']} × T_concurrent) = {m['efficiency']}** "
+        f"(probe window efficiency {m['hw_efficiency']}; normalized "
+        f"{m['efficiency_normalized']}).",
+        "",
+        m.get("conclusion", ""),
+    ]
 
 
 def run_shuffle_matrix(turns: int | None = None) -> dict:
@@ -637,6 +796,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--shuffle-matrix":
         m = run_shuffle_matrix()
         print(json.dumps({"metric": "shuffle_matrix", **m}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--multiproc-scaling":
+        m = run_multiproc_scaling()
+        print(json.dumps({"metric": "multiproc_scaling", **m}))
         return
 
     times, spreads, probes = run_headline(sf_dir, cpus)
