@@ -522,6 +522,25 @@ _STREAM_CACHE = os.path.join(REPO, "BENCH", "stream_bench.json")
 _SHUFFLE_CACHE = os.path.join(REPO, "BENCH", "shuffle_matrix.json")
 
 
+def _write_cache(path: str, payload: dict) -> None:
+    """Write a BENCH/*.json cache, preserving the hand-added
+    ``conclusion`` field of an existing cache (the committed
+    interpretation text rendered into BASELINE.md) unless the new
+    payload carries its own — a plain overwrite silently erases it on
+    every re-run (round-4 ADVICE finding)."""
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            if "conclusion" in prev and "conclusion" not in payload:
+                payload["conclusion"] = prev["conclusion"]
+        except (OSError, ValueError):
+            pass
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+
+
 def _stream_note_lines(sb: dict) -> list[str]:
     return [
         "",
@@ -699,9 +718,7 @@ def run_multiproc_scaling(
         "hw_efficiency": round(hw_eff, 3),
         "efficiency_normalized": round(raw / hw_eff if hw_eff > 0 else raw, 3),
     }
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(_MULTIPROC_CACHE, "w") as f:
-        json.dump(result, f, indent=1)
+    _write_cache(_MULTIPROC_CACHE, result)
     return result
 
 
@@ -773,9 +790,7 @@ def run_shuffle_matrix(turns: int | None = None) -> dict:
         }
         print(json.dumps({name: configs[name]}), flush=True)
     matrix = {"turns": n, "reps": 3, "configs": configs}
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(_SHUFFLE_CACHE, "w") as f:
-        json.dump(matrix, f, indent=1)
+    _write_cache(_SHUFFLE_CACHE, matrix)
     return matrix
 
 
@@ -788,9 +803,7 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--stream-bench":
         sb = run_stream_bench()
-        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-        with open(_STREAM_CACHE, "w") as f:
-            json.dump(sb, f, indent=1)
+        _write_cache(_STREAM_CACHE, sb)
         print(json.dumps({"metric": "stream_throughput", **sb}))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--shuffle-matrix":

@@ -101,6 +101,22 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(nbits, dim))
 
 
+def _xor_masks(nbits: int, radius: int) -> list[int]:
+    """All XOR masks of Hamming weight ≤ ``radius`` over ``nbits`` bits
+    (identity mask first).  Driver-enumerated — Σ C(nbits, r) ints, so
+    the probe fan-out is a fixed literal array in the plan."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(nbits), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def _resolve_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
     """Embedding dimensionality without running a job when avoidable:
     explicit parameter first, then the column's schema metadata key
@@ -372,17 +388,9 @@ def knn_join_lsh(
     Equivalent to per-query ``rp_lsh_topk`` (Hamming ≤ radius probing),
     batched.  Pass ``dim`` (or carry it in the column metadata) so plan
     construction runs zero jobs."""
-    from itertools import combinations
-
     dim = _resolve_dim(corpus, vec_col, dim)
     planes = _hyperplanes(dim, nbits, seed)
-    masks = [0]
-    for r in range(1, hamming_radius + 1):
-        for bits in combinations(range(nbits), r):
-            m = 0
-            for b in bits:
-                m |= 1 << b
-            masks.append(m)
+    masks = _xor_masks(nbits, hamming_radius)
     v = F.col(vec_col).cast("array<double>")
     c = corpus.select(
         F.col(id_col), v.alias("_v"), rp_signature(v, planes).alias("sig")
@@ -452,10 +460,19 @@ def cosine_pairs(
     seed: int = 42,
     max_bucket: int = 1000,
     dim: int | None = None,
+    probe_radius: int = 0,
 ) -> DataFrame:
     """Embedding near-dup pairs: LSH-bucket equi-join (exact signature
     match) → exact cosine verify.  At high thresholds near-dups collide
     on all bits with high probability; precision is exact.
+
+    ``probe_radius`` > 0 turns on multiprobe: one side explodes each
+    signature into every XOR mask of Hamming weight ≤ radius, so a pair
+    whose signatures differ in ≤ radius bits still collides.  Recall at
+    cosine c rises from P(0 flips) = (1-θ/π)^nbits to P(≤radius flips)
+    — e.g. nbits=8, c≈0.999: 0.94 → 0.9998 at radius 2 — at the cost
+    of a Σ C(nbits, r) fan-out on the exploded side (37× at 8/2).
+    Precision is unaffected (exact verify).
 
     ``max_bucket`` bounds a degenerate signature bucket (e.g. zero or
     constant vectors) to cap² candidates instead of p² — same df-cap
@@ -474,8 +491,19 @@ def cosine_pairs(
         .where(F.col("_rn") <= max_bucket)
         .drop("_rn")
     )
+    if probe_radius > 0:
+        masks = _xor_masks(nbits, probe_radius)
+        probed = signed.select(
+            "id",
+            "_v",
+            F.explode(
+                F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("sig"),
+        )
+    else:
+        probed = signed
     return (
-        signed.alias("a")
+        probed.alias("a")
         .join(signed.alias("b"), "sig")
         .where(F.col("a.id") < F.col("b.id"))
         .select(

@@ -393,6 +393,24 @@ def simhash_pairs(
     )
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Immediately release the block storage of an eagerly
+    ``localCheckpoint()``-ed DataFrame.  ``Dataset.unpersist()`` is a
+    no-op for these (the CacheManager never registers localCheckpoint
+    RDDs), so the blocks otherwise linger until JVM GC + ContextCleaner
+    get around to them.  Reaches the LogicalRDD's java RDD and
+    unpersists it directly.  The DataFrame is UNUSABLE afterwards
+    (checkpoint data is not recomputable) — only call on a checkpoint
+    that has been superseded.  Best-effort: on any reflection surprise
+    it falls back to the ContextCleaner's GC-based cleanup."""
+    try:
+        lp = df._jdf.queryExecution().analyzed()
+        if lp.getClass().getSimpleName() == "LogicalRDD":
+            lp.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,
@@ -424,6 +442,14 @@ def dedup_clusters(
     pattern — GraphFrames CC does the same).  On a real cluster swap in
     reliable ``checkpoint()`` (HDFS-backed) so executor loss during the
     loop stays recoverable.
+
+    Superseded rounds free their block storage via
+    ``_free_local_checkpoint`` — ``Dataset.unpersist()`` goes through
+    the CacheManager, where localCheckpoint RDDs are never registered,
+    so it silently does nothing and the loop would hold
+    O(rounds × |E|) storage blocks until the ContextCleaner GCs them
+    (round-4 ADVICE finding).  The FINAL edge set stays checkpointed:
+    the returned labels DataFrame reads from it lazily.
     """
     ids = df.select(F.col(id_col).cast("long").alias("id")).distinct()
     # normalize: (a, b) with a > b, no self-loops — the "points to a
@@ -440,59 +466,57 @@ def dedup_clusters(
         .localCheckpoint(eager=True)
     )
     n_edges = edges.count()
-    try:
-        for _ in range(max_iters):
-            # ---- large-star: every node u links its LARGER neighbors
-            # to m(u) = min(N(u) ∪ {u}) --------------------------------
-            sym = edges.unionByName(
-                edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-            )
-            mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
-            m = F.least(F.col("a"), F.col("mn"))
-            large = (
-                sym.join(mins, "a")
-                .where(F.col("b") > F.col("a"))
-                # (v, m): v > u ≥ m, so orientation a > b is preserved
-                .select(F.col("b").alias("a"), m.alias("b"))
-                .where(F.col("a") != F.col("b"))
-                .distinct()
-            )
-            # ---- small-star: every node u links its smaller neighbors
-            # (and itself) to its minimum smaller neighbor -------------
-            mins2 = large.groupBy("a").agg(F.min("b").alias("mn"))
-            joined = large.join(mins2, "a")
-            new_edges = (
-                mins2.select("a", F.col("mn").alias("b"))
-                .unionByName(
-                    joined.select(F.col("b").alias("a"), F.col("mn").alias("b"))
-                )
-                .where(F.col("a") != F.col("b"))
-                .distinct()
-                .localCheckpoint(eager=True)
-            )
-            new_count = new_edges.count()
-            converged = (
-                new_count == n_edges
-                and new_edges.subtract(edges).count() == 0
-            )
-            edges.unpersist()
-            edges, n_edges = new_edges, new_count
-            if converged:
-                # fixpoint = per-component stars: every non-root node
-                # has a direct (node, root) edge; roots/singletons self
-                labels = ids.join(
-                    edges.select(F.col("a").alias("id"), F.col("b").alias("label")),
-                    "id",
-                    "left",
-                )
-                return labels.select(
-                    F.col("id").alias(id_col),
-                    F.coalesce(F.col("label"), F.col("id")).alias("cluster_id"),
-                )
-        raise RuntimeError(
-            f"dedup_clusters did not converge in {max_iters} "
-            "large-star/small-star rounds (O(log n) expected — this "
-            "indicates a bug or an astronomically large component)"
+    for _ in range(max_iters):
+        # ---- large-star: every node u links its LARGER neighbors
+        # to m(u) = min(N(u) ∪ {u}) --------------------------------
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
-    finally:
-        edges.unpersist()
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        m = F.least(F.col("a"), F.col("mn"))
+        large = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            # (v, m): v > u ≥ m, so orientation a > b is preserved
+            .select(F.col("b").alias("a"), m.alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # ---- small-star: every node u links its smaller neighbors
+        # (and itself) to its minimum smaller neighbor -------------
+        mins2 = large.groupBy("a").agg(F.min("b").alias("mn"))
+        joined = large.join(mins2, "a")
+        new_edges = (
+            mins2.select("a", F.col("mn").alias("b"))
+            .unionByName(
+                joined.select(F.col("b").alias("a"), F.col("mn").alias("b"))
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_count = new_edges.count()
+        converged = (
+            new_count == n_edges
+            and new_edges.subtract(edges).count() == 0
+        )
+        _free_local_checkpoint(edges)
+        edges, n_edges = new_edges, new_count
+        if converged:
+            # fixpoint = per-component stars: every non-root node
+            # has a direct (node, root) edge; roots/singletons self
+            labels = ids.join(
+                edges.select(F.col("a").alias("id"), F.col("b").alias("label")),
+                "id",
+                "left",
+            )
+            return labels.select(
+                F.col("id").alias(id_col),
+                F.coalesce(F.col("label"), F.col("id")).alias("cluster_id"),
+            )
+    _free_local_checkpoint(edges)
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iters} "
+        "large-star/small-star rounds (O(log n) expected — this "
+        "indicates a bug or an astronomically large component)"
+    )

@@ -89,6 +89,13 @@ def parse_image_header(payload: bytes) -> tuple[int, int] | None:
         while i + 9 <= len(payload):
             if payload[i] != 0xFF:
                 return None
+            # JPEG permits runs of 0xFF fill bytes between segments
+            # (ITU T.81 §B.1.1.2); the marker byte is the first
+            # non-0xFF after the run.
+            while i + 9 <= len(payload) and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 9 > len(payload):
+                return None
             marker = payload[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers have no length field

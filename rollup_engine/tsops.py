@@ -133,7 +133,7 @@ def rolling_zscore(
     order_col: str = "turn_idx",
     window_rows: int = 20,
     min_periods: int = 5,
-    round_dp: int = 4,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Adds ``z``: the current value's z-score against the trailing
     ``window_rows`` PRECEDING observations of its key (the current row
@@ -166,10 +166,16 @@ def rolling_zscore(
     s1d = s1.cast("double")
     mean = s1 / n
     var = (s2.cast("double") - s1d * s1d / n) / (n - F.lit(1))
-    z = F.when(
-        (n >= int(min_periods)) & (var > 0),
-        F.round((x - mean) / F.sqrt(var), round_dp),
-    )
+    zval = (x - mean) / F.sqrt(var)
+    # round_dp is display sugar and defaults to OFF (same policy as
+    # ewma): decimal ROUND near .5 boundaries is engine-implementation-
+    # defined (Spark exact BigDecimal HALF_UP vs DuckDB double-space
+    # scaling), while the unrounded quotient is bit-identical by the
+    # fixed-IEEE-sequence argument above — so the raw value is the
+    # cross-engine-safe default and the oracle compares it unrounded.
+    if round_dp is not None:
+        zval = F.round(zval, round_dp)
+    z = F.when((n >= int(min_periods)) & (var > 0), zval)
     return df.withColumn("z", z)
 
 

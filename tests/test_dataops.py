@@ -233,6 +233,20 @@ _JPEG_31x17 = (
     + (17).to_bytes(2, "big") + (31).to_bytes(2, "big")   # height, width
     + b"\x03" + b"\x00" * 9
 )
+# Same frame, but with legal 0xFF fill/padding runs before the markers
+# (ITU T.81 §B.1.1.2) — the walk must skip the run, not read a fill
+# byte as a marker with a bogus length field (round-4 ADVICE finding).
+_JPEG_31x17_FILL = (
+    b"\xff\xd8"
+    + b"\xff\xff\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    + b"\xff\xff\xff\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+    + (17).to_bytes(2, "big") + (31).to_bytes(2, "big")
+    + b"\x03" + b"\x00" * 9
+)
+
+
+def test_jpeg_fill_bytes_skipped():
+    assert multimodal.parse_image_header(_JPEG_31x17_FILL) == (31, 17)
 
 
 def test_multimodal_real_header_decode(spark):
@@ -485,6 +499,31 @@ def test_dedup_clusters_long_path_converges_fast(spark):
         dedup_clusters(docs, pairs, max_iters=1)
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs).collect()}
     assert set(got.values()) == {0} and len(got) == n
+
+
+def test_dedup_clusters_frees_superseded_checkpoints(spark):
+    """Each CC round localCheckpoints its edge set; superseded rounds
+    must release their block storage immediately (Dataset.unpersist is
+    a CacheManager no-op for localCheckpoint RDDs — round-4 ADVICE).
+    After a multi-round run, at most ONE new cached RDD (the final edge
+    set backing the returned labels) may remain."""
+    from rollup_engine.dedup import dedup_clusters
+
+    sc = spark.sparkContext
+    before = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+    n = 64
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(n)], "doc_id: long, text: string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a: long, id_b: long"
+    )
+    out = dedup_clusters(docs, pairs)
+    assert out.where("cluster_id = 0").count() == n
+    after = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+    assert len(after - before) <= 1, (
+        f"superseded checkpoint blocks linger: {sorted(after - before)}"
+    )
 
 
 def test_dedup_clusters_random_vs_union_find(spark):

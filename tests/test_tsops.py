@@ -102,7 +102,7 @@ def test_rolling_zscore_pinned(spark):
         (r.conv_id, r.turn_idx): r.z
         for r in rolling_zscore(
             df, "delta_ms", by=["conv_id"], order_col="turn_idx",
-            window_rows=3, min_periods=2,
+            window_rows=3, min_periods=2, round_dp=4,
         ).collect()
     }
     assert out[("a", 0)] is None          # no history
