@@ -21,6 +21,21 @@ minutes (526k rows) or a per-key fill no longer serializes through one
 task (the round-3 verdict's "No Partition Defined for Window" finding).
 With ``by`` keys the spine crosses the key universe and every window,
 including the boundary carry, is key-partitioned.
+
+Round-5 adjudication of the r4 driver regression (gapfill_locf 1.09 s
+r3 → 1.84 s r4): an interleaved warm A/B in one session (min-of-5,
+sf0.1, local[32]) measured THIS implementation at 1.04 s — equal to
+the r3 single-pass number — so the chunked design costs ~nothing and
+the 1.84 s was a degraded window, not the two-pass trade.  AQE's
+runtime ReusedExchange de-duplicates the bounds-on-filled self-join
+(the static plan shows two subtrees; the runtime plan computes one).
+A rewrite that derived bounds from the rollup directly with a cached
+per-day aggregate measured 1.61 s (cache materialization + extra jobs
+cost more than the reused exchange), and additionally caching the
+rollup input measured 3.6+ s (a cache is a pruning barrier: it
+materializes every percentile column the fill never reads).  Evidence:
+BENCH/gapfill_ab.json.  Keep this shape; don't "optimize" it into a
+cache.
 """
 
 from __future__ import annotations
