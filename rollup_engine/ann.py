@@ -298,13 +298,44 @@ def ivf_topk(
     )
 
 
+def _parse_size_bytes(v: str) -> int:
+    """Parse a Spark size conf value ('10485760', '10MB', '1g', '-1')."""
+    s = str(v).strip().lower().removesuffix("b")
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(float(s)) if s else -1
+
+
+def _auto_query_shards(q: DataFrame) -> int:
+    """Shard count so each query-side broadcast fits the session's
+    ``spark.sql.autoBroadcastJoinThreshold``: ceil(plan-estimated size
+    / threshold).  Uses Catalyst's logical ``stats().sizeInBytes`` —
+    propagated from file/relation sizes, so plan construction runs ZERO
+    jobs.  Clamped to [1, 256]: a query side needing >256 broadcast
+    shards shouldn't ride knn_join at all (use knn_join_lsh, whose
+    probe-join shape never broadcasts the scored relation)."""
+    import math
+
+    size = int(q._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    try:
+        thr = _parse_size_bytes(
+            q.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except Exception:
+        thr = 10 << 20
+    if thr <= 0:  # broadcast threshold disabled — fall back to 10 MB
+        thr = 10 << 20
+    return max(1, min(256, math.ceil(size / thr)))
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_shards: int = 1,
+    query_shards: int | None = None,
 ) -> DataFrame:
     """Exact batch kNN JOIN: top-k corpus neighbors for EVERY query row
     (the batch retrieval op — per-example nearest neighbors for dedup
@@ -326,6 +357,11 @@ def knn_join(
     shard, so per-shard ranking equals global ranking — results are
     identical to the unsharded join (pinned in tests), peak broadcast
     size is |Q|/n, and each shard still compiles to WindowGroupLimit.
+    Default ``None`` = AUTO (round-5): the shard count is derived from
+    the query side's Catalyst size estimate and the session's
+    ``spark.sql.autoBroadcastJoinThreshold`` (see _auto_query_shards —
+    zero jobs at plan build), so a query batch above the broadcast
+    budget shards itself without the caller knowing the OOM bound.
     For |Q| beyond what sharding keeps reasonable (~millions), use
     ``knn_join_lsh`` instead — its probes-join shape never broadcasts
     the full scored relation.
@@ -356,6 +392,8 @@ def knn_join(
             .where(F.col("rank") <= k)
         )
 
+    if query_shards is None:
+        query_shards = _auto_query_shards(q)
     if query_shards <= 1:
         return _topk(q)
     shard = F.pmod(F.hash("query_id"), F.lit(int(query_shards)))
