@@ -845,7 +845,17 @@ def main() -> None:
             sum(payload["queries_normalized"].values()), 3
         )
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        payload["scaling"] = run_scaling()
+        # 8 fixed shuffle partitions for BOTH (1,4) legs (round-5
+        # matrix, BENCH/scaling14_matrix.json): local[1]'s default is
+        # already 8, but local[4]'s 4×cores default (16) measured ~6%
+        # slower than 8 (30.04 s vs 28.26 s, raw eff 0.759 → 0.807 in
+        # the same window — the exact r4 0.75-dip signature), and 32/64
+        # partitions measured 0.67-0.68: per-task overhead is paid
+        # serially on small-core legs.  Symmetric-config rule as the
+        # (8,32) pair's 64.
+        payload["scaling"] = run_scaling(
+            extra_conf={"spark.sql.shuffle.partitions": "8"}
+        )
         payload["scaling_efficiency"] = payload["scaling"]["efficiency"]
         # BASELINE.md names local[8] vs local[32] as the evidence pair;
         # past ~8 busy cores a single JVM on this VM saturates SHARED

@@ -470,6 +470,71 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "session_seq")
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average latency per (conversation, hour) — the
+    TimescaleDB time_weight analog (round-5): each observation's value
+    holds until the next observation of its conversation, clamped to
+    its own bucket; exact int64 µs weights, one double division (see
+    tsops.time_weighted_avg)."""
+    from .tsops import time_weighted_avg
+
+    d = _deltas(spark, sf_dir).select("conv_id", "turn_idx", "ts", "delta_ms")
+    return time_weighted_avg(
+        d, "delta_ms", bucket="hour", by=["conv_id"], order_tiebreak="turn_idx"
+    )
+
+
+def q_ohlc_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute OHLC bars of the global latency series (round-5):
+    open/close via min_by/max_by on a zero-padded total-order string
+    key (lexicographic == numeric; DuckDB printf builds the identical
+    key for arg_min/arg_max)."""
+    from .tsops import ohlc
+
+    d = _deltas(spark, sf_dir)
+    key = F.format_string(
+        "%020d|%s|%010d",
+        F.unix_micros(F.col("ts").cast("timestamp")),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+    )
+    return ohlc(d, "delta_ms", bucket="minute", order_key=key)
+
+
+def q_rollup_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-width tumbling buckets (round-5): the full metric set
+    at a 5-minute width via exact epoch-µs floor arithmetic — the
+    time_bucket(INTERVAL) analog outside the named tier ladder."""
+    from .rollup import rollup_interval
+
+    return rollup_interval(_deltas(spark, sf_dir), 300)
+
+
+def q_corr_load_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-latency coupling per hour (round-5): exact-moment Pearson
+    correlation between per-minute turn_count and truncated-avg latency
+    (both integral) across the hour's minutes — NOT F.corr, whose
+    Welford accumulation is order-dependent (see tsops.series_corr)."""
+    from .tsops import series_corr
+
+    m = rollup(_deltas(spark, sf_dir), "minute").select(
+        "bucket_start", "turn_count", "lat_avg_ms"
+    )
+    return series_corr(
+        m, "turn_count", "lat_avg_ms", bucket="hour", ts_col="bucket_start"
+    )
+
+
+def q_prom_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-convention cumulative latency histogram per minute
+    (round-5): one row per (bucket, le) boundary with count ≤ le,
+    +Inf carried as int64 max — the histogram-type counterpart of the
+    S8 Prometheus pull sink's gauges (see tsops.prom_histogram)."""
+    from .tsops import prom_histogram
+
+    return prom_histogram(_deltas(spark, sf_dir), "delta_ms", bucket="minute")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_project": q_scan_project,
     "filter_terms": q_filter_terms,
@@ -480,6 +545,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anomaly_zscore": q_anomaly_zscore,
     "ewma_latency": q_ewma_latency,
     "interval_join": q_interval_join,
+    "time_weighted_avg": q_time_weighted_avg,
+    "ohlc_minute": q_ohlc_minute,
+    "rollup_5min": q_rollup_5min,
+    "corr_load_latency": q_corr_load_latency,
+    "prom_histogram": q_prom_histogram,
     "filter_time": q_filter_time,
     "pair_deltas": q_pair_deltas,
     "rollup_minute": q_rollup_minute,
@@ -549,6 +619,14 @@ _DRIVER_TAIL = [
     "ann_ivf_indexed",  # reuses ann_ivf's oracle; plan pytest-pinned
     "knn_join_sharded",  # reuses knn_join's oracle; sharded==unsharded pytest-pinned
     "embedding_pairs_exact",  # exact all-pairs baseline for the (now non-vacuous) embedding_pairs
+    # round-5 additions, displaced by the five new unique gates
+    # (time_weighted_avg, ohlc_minute, rollup_5min, corr_load_latency,
+    # prom_histogram):
+    "rollup_salted",  # reuses rollup_hour's oracle verbatim (salting must not change results)
+    "rollup_day",  # same rollup()/tier code path as the recorded minute+hour gates
+    "topk_convs",  # global top-k; the recorded topk_convs_hourly exercises the rank machinery
+    "token_stats",  # groupBy over the recorded text_features' fingerprint relation
+    "ann_bruteforce",  # single-query special case of the recorded knn_join kernel
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _DRIVER_HEAD},
@@ -890,6 +968,116 @@ SELECT conv_id, turn_idx, delta_ms,
                         / (n - 1))
        END AS z
 FROM w"""
+
+# Time-weighted average: mirrors tsops.time_weighted_avg — filter null
+# deltas FIRST (so LEAD skips to the next observation), weight = µs to
+# the next obs clamped to the bucket end, exact BIGINT Σvw / Σw with
+# one double division (DuckDB BIGINT/BIGINT is double, like Spark
+# long/long; the CASTs collapse DuckDB's HUGEINT SUM back to int64).
+ORACLES["time_weighted_avg"] = f"""{_DELTAS_CTE},
+o AS (SELECT conv_id, turn_idx, ts, delta_ms FROM d
+      WHERE delta_ms IS NOT NULL),
+s AS (
+    SELECT conv_id,
+           date_trunc('hour', ts) AS bucket_start,
+           delta_ms AS v,
+           LEAST(
+               COALESCE(
+                   LEAD(epoch_us(ts)) OVER
+                       (PARTITION BY conv_id ORDER BY ts, turn_idx),
+                   epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)),
+               epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR))
+           - epoch_us(ts) AS w
+    FROM o)
+SELECT conv_id, bucket_start,
+       CASE WHEN CAST(SUM(w) AS BIGINT) > 0
+            THEN CAST(SUM(v * w) AS BIGINT) / CAST(SUM(w) AS BIGINT)
+       END AS twa,
+       COUNT(*) AS obs_count,
+       CAST(SUM(w) AS BIGINT) AS obs_weight_us
+FROM s GROUP BY conv_id, bucket_start"""
+
+# OHLC: arg_min/arg_max on the same zero-padded total-order string the
+# Spark side builds with format_string — lexicographic == numeric.
+_OHLC_KEY_SQL = "printf('%020d|%s|%010d', epoch_us(ts), conv_id, turn_idx)"
+ORACLES["ohlc_minute"] = f"""{_DELTAS_CTE}
+SELECT date_trunc('minute', ts) AS bucket_start,
+       arg_min(delta_ms, {_OHLC_KEY_SQL}) AS open,
+       MAX(delta_ms) AS high,
+       MIN(delta_ms) AS low,
+       arg_max(delta_ms, {_OHLC_KEY_SQL}) AS close,
+       COUNT(delta_ms) AS n
+FROM d WHERE delta_ms IS NOT NULL
+GROUP BY 1"""
+
+# Arbitrary-width buckets: exact epoch-µs modulo arithmetic (never a
+# double quotient), same metric SQL as the named tiers.
+ORACLES["rollup_5min"] = f"""{_DELTAS_CTE}
+SELECT '300s' AS tier,
+       make_timestamp(epoch_us(ts) - epoch_us(ts) % 300000000)
+           AS bucket_start,
+       {_METRICS_SQL}
+FROM d WHERE delta_ms IS NOT NULL
+GROUP BY 2"""
+
+# Exact-moment Pearson correlation: integer moment sums over the minute
+# tier, one fixed IEEE sequence — mirrors tsops.series_corr op for op.
+ORACLES["corr_load_latency"] = f"""{_DELTAS_CTE},
+m AS (
+    SELECT date_trunc('minute', ts) AS mb,
+           COUNT(delta_ms) AS x,
+           CAST(FLOOR(AVG(delta_ms)) AS BIGINT) AS y
+    FROM d WHERE delta_ms IS NOT NULL GROUP BY 1),
+a AS (
+    SELECT date_trunc('hour', mb) AS bucket_start,
+           COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM m GROUP BY 1)
+SELECT bucket_start,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                 AND (n * syy - sy * sy) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+       END AS corr,
+       n
+FROM a"""
+
+# Prometheus cumulative histogram: one when-chain bucket index per row,
+# dense (bucket × le) grid via cross join with the literal boundary
+# table, window cumsum per time bucket.  +Inf = int64 max (integral —
+# IEEE inf does not hash cross-engine).
+ORACLES["prom_histogram"] = f"""{_DELTAS_CTE},
+o AS (
+    SELECT date_trunc('minute', ts) AS bucket_start,
+           CASE WHEN delta_ms <= 100 THEN 0
+                WHEN delta_ms <= 500 THEN 1
+                WHEN delta_ms <= 1000 THEN 2
+                WHEN delta_ms <= 5000 THEN 3
+                WHEN delta_ms <= 10000 THEN 4
+                WHEN delta_ms <= 60000 THEN 5
+                ELSE 6 END AS idx
+    FROM d WHERE delta_ms IS NOT NULL),
+c AS (SELECT bucket_start, idx, COUNT(*) AS cnt FROM o GROUP BY 1, 2),
+grid(idx, le_ms) AS (VALUES
+    (0, 100), (1, 500), (2, 1000), (3, 5000), (4, 10000), (5, 60000),
+    (6, 9223372036854775807)),
+mb AS (SELECT DISTINCT bucket_start FROM c),
+f AS (
+    SELECT mb.bucket_start, grid.idx,
+           CAST(grid.le_ms AS BIGINT) AS le_ms,
+           COALESCE(c.cnt, 0) AS cnt
+    FROM mb CROSS JOIN grid
+    LEFT JOIN c ON c.bucket_start = mb.bucket_start AND c.idx = grid.idx)
+SELECT bucket_start, le_ms,
+       CAST(SUM(cnt) OVER (PARTITION BY bucket_start ORDER BY idx
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_count
+FROM f"""
+
 
 def _ewma_oracle_sql(p: int = 7, q: int = 10, lags: int = 6) -> str:
     """Mirror tsops.ewma: the same exact integer weights p^k·q^(L-k)

@@ -119,6 +119,37 @@ def rollup(
     )
 
 
+def rollup_interval(
+    deltas: DataFrame,
+    width_seconds: int,
+    extra_keys: list[str] | None = None,
+    accuracy: int = DEFAULT_ACCURACY,
+) -> DataFrame:
+    """Rollup at an ARBITRARY tumbling-bucket width (the TimescaleDB
+    ``time_bucket(INTERVAL ...)`` analog) — the named minute/hour/day
+    tiers are the retention ladder; ad-hoc analysis wants 5-minute or
+    15-second buckets without a schema change.
+
+    Bucket key = epoch-µs floor division, in exact int64 (``e - e mod
+    w``, never a double quotient whose rounding could flip a boundary):
+    identical arithmetic in the DuckDB oracle via ``make_timestamp``.
+    Same metric set and plan shape as ``rollup`` (one hash aggregate
+    with map-side partials; the only added expression is the modulo).
+    """
+    w_us = int(width_seconds) * 1_000_000
+    e = F.unix_micros(F.col("ts").cast("timestamp"))
+    bucket = F.timestamp_micros(e - F.pmod(e, F.lit(w_us)))
+    keys = [bucket.alias("bucket_start")]
+    for k in extra_keys or []:
+        keys.append(F.col(k))
+    out = deltas.groupBy(*keys).agg(*metric_aggs(accuracy=accuracy))
+    return out.withColumn("tier", F.lit(f"{int(width_seconds)}s")).select(
+        "tier",
+        "bucket_start",
+        *[c for c in out.columns if c != "bucket_start"],
+    )
+
+
 def global_rollup(
     deltas: DataFrame, delta_col: str = DELTA_COL, exact: bool = True
 ) -> DataFrame:

@@ -286,3 +286,209 @@ def ewma(
     if round_dp is not None:
         quot = F.round(quot, round_dp)
     return df.withColumn("ewma", F.when(den > 0, quot))
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    value_col: str,
+    bucket: str = "hour",
+    by: Sequence[str] = ("conv_id",),
+    ts_col: str = "ts",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-weighted average per (key, bucket) — the TimescaleDB
+    ``time_weight('LOCF')`` analog for irregular series: each
+    observation's value extends from its timestamp to the NEXT
+    observation of its key, clamped to the end of its own bucket, and
+    the bucket average weights each value by that holding duration.
+    (Cross-bucket carry-in is deliberately out of scope — compose with
+    ``gapfill`` LOCF for that; here a bucket averages only values
+    observed inside it.)
+
+    Exactness contract (the ewma/zscore design): weights are exact µs
+    int64s, ``value_col`` must be integral, so Σ(v·w) and Σw are
+    order-independent integer sums and the single v̄ = Σvw/Σw double
+    division is bit-identical across engines.  Bound: Σ(v·w) must fit
+    int64 — |v| · bucket_µs · obs_per_bucket ≲ 9.2e18 (a day bucket of
+    ms-scale latencies is ~1e7·8.6e10 ≈ 1e18 per observation-free
+    worst case; pre-scale larger magnitudes).
+
+    Output: (by…, bucket_start, twa, obs_count, obs_weight_us).
+    One exchange on the key (the lead window), one on the group —
+    same shape as the delta extraction + rollup pair.
+    """
+    order_cols = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    w_next = Window.partitionBy(*list(by)).orderBy(*order_cols)
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket_start = F.date_trunc(bucket, F.col(ts_col))
+    bucket_end_us = F.unix_micros(
+        (bucket_start + F.expr(f"INTERVAL 1 {bucket}")).cast("timestamp")
+    )
+    nxt = F.lead(t).over(w_next)
+    weight = F.least(F.coalesce(nxt, bucket_end_us), bucket_end_us) - t
+    seg = df.where(F.col(value_col).isNotNull()).select(
+        *list(by),
+        bucket_start.alias("bucket_start"),
+        F.col(value_col).cast("long").alias("_v"),
+        weight.alias("_w"),
+    )
+    vw_sum = F.sum(F.col("_v") * F.col("_w"))
+    w_sum = F.sum("_w")
+    return seg.groupBy(*list(by), "bucket_start").agg(
+        F.when(w_sum > 0, vw_sum / w_sum).alias("twa"),
+        F.count(F.lit(1)).alias("obs_count"),
+        w_sum.alias("obs_weight_us"),
+    )
+
+
+def ohlc(
+    df: DataFrame,
+    value_col: str,
+    bucket: str = "minute",
+    by: Sequence[str] = (),
+    ts_col: str = "ts",
+    order_key: Column | None = None,
+) -> DataFrame:
+    """OHLC (open/high/low/close) bars per (key, bucket) — the classic
+    financial downsample; open/close are the value at the first/last
+    observation of the bucket under a TOTAL order.
+
+    ``order_key`` must be a Column giving that total order; when None a
+    caller must accept value-order tie-breaks (min_by/max_by on the
+    timestamp alone are non-deterministic under ties).  For a
+    cross-engine-stable order over non-unique timestamps, pass a
+    zero-padded string key (e.g. ``format_string('%020d|%s|%010d',
+    unix_micros(ts), conv_id, turn_idx)``) — lexicographic equals
+    numeric on the padding, and DuckDB's ``printf`` builds the
+    identical key for ``arg_min``/``arg_max``.
+
+    One map-combinable hash aggregate (min_by/max_by partial-merge like
+    min/max): single exchange on (by…, bucket).
+    """
+    key = order_key if order_key is not None else F.col(ts_col)
+    v = F.col(value_col)
+    return (
+        df.where(v.isNotNull())
+        .groupBy(
+            *list(by), F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start")
+        )
+        .agg(
+            F.min_by(v, key).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, key).alias("close"),
+            F.count(v).alias("n"),
+        )
+    )
+
+
+def series_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bucket: str = "hour",
+    by: Sequence[str] = (),
+    ts_col: str = "bucket_start",
+) -> DataFrame:
+    """Pearson correlation of two integral series per (key, bucket) —
+    e.g. per hour, the correlation between a finer tier's turn-rate and
+    latency columns (load-latency coupling, the classic ops question).
+
+    NOT ``F.corr``: built-in corr streams Welford-style in doubles, so
+    its result depends on accumulation order and can't hash-match an
+    oracle.  Here the five moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    int64 sums and r derives through ONE fixed IEEE sequence:
+    r = (n·Σxy − Σx·Σy) / sqrt((n·Σx²−Σx·Σx) · (n·Σy²−Σy·Σy)) with the
+    numerator/denominator differences computed in exact int64 and cast
+    to double once.  NULL when either variance is zero or n < 2.
+    Bound: n·Σx² must fit int64 (|x| ≲ 3e8 at 60 sub-buckets/bucket;
+    pre-scale beyond that).
+
+    One map-combinable hash aggregate, one exchange.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    n = F.count(F.lit(1))
+    sx, sy = F.sum(x), F.sum(y)
+    sxy, sxx, syy = F.sum(x * y), F.sum(x * x), F.sum(y * y)
+    num = (n * sxy - sx * sy).cast("double")
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    r = F.when(
+        (n >= 2) & (denx > 0) & (deny > 0),
+        num / F.sqrt(denx.cast("double") * deny.cast("double")),
+    )
+    return (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(
+            *list(by), F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start")
+        )
+        .agg(r.alias("corr"), n.alias("n"))
+    )
+
+
+# Prometheus-convention latency boundaries (ms) for prom_histogram —
+# finite ``le`` thresholds; the +Inf bucket is carried as int64 max so
+# the column stays integral (cross-engine-hashable, unlike IEEE inf).
+PROM_LE_MS = [100, 500, 1000, 5000, 10000, 60000]
+PROM_INF_MS = (1 << 63) - 1
+
+
+def prom_histogram(
+    df: DataFrame,
+    value_col: str,
+    bucket: str = "minute",
+    boundaries: Sequence[int] = tuple(PROM_LE_MS),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Prometheus-style CUMULATIVE histogram per time bucket: one row
+    per (bucket_start, le_ms) with the count of observations ≤ le_ms,
+    including the +Inf row (le_ms = int64 max) that equals the bucket's
+    total — the exposition-format contract behind ``_bucket{le=...}``
+    series (render.prometheus serves gauges/summaries today; this is
+    the histogram-type counterpart at the query layer).
+
+    Shape: each observation maps to ONE bucket index (a when-chain —
+    no |boundaries|× explode of the data), counts aggregate per
+    (bucket, idx), and the cumulative sum + dense le-grid run over the
+    tiny (buckets × |boundaries|+1) relation: a cross join of the
+    distinct time buckets with the literal boundary table, left-joined
+    with the counts, then a window sum partitioned per time bucket.
+    Every window is partitioned; nothing spine-sized sorts globally.
+    """
+    bs = sorted(int(b) for b in boundaries)
+    v = F.col(value_col)
+    idx = F.lit(len(bs))
+    for i in range(len(bs) - 1, -1, -1):
+        idx = F.when(v <= F.lit(bs[i]), F.lit(i)).otherwise(idx)
+    counts = (
+        df.where(v.isNotNull())
+        .groupBy(
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start"),
+            idx.alias("_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(i, int(b)) for i, b in enumerate(bs)] + [(len(bs), PROM_INF_MS)],
+        "_idx int, le_ms long",
+    )
+    full = (
+        counts.select("bucket_start")
+        .distinct()
+        .crossJoin(F.broadcast(grid))
+        .join(counts, ["bucket_start", "_idx"], "left")
+    )
+    w = (
+        Window.partitionBy("bucket_start")
+        .orderBy("_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return full.select(
+        "bucket_start",
+        "le_ms",
+        F.sum(F.coalesce(F.col("_c"), F.lit(0).cast("long")))
+        .over(w)
+        .alias("cum_count"),
+    )

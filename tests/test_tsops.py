@@ -254,3 +254,149 @@ def test_ewma_pinned_and_matches_pandas(spark):
     )
     gc = ewma(spark.createDataFrame(const), "delta_ms").toPandas()["ewma"]
     assert (gc == 42.0).all()
+
+
+# --------------------------------------------------- round-5 operators
+
+
+def test_time_weighted_avg_pinned(spark):
+    """Hour bucket, conv a: v=10 held 00:00→00:30 (1800s), v=20 held
+    00:30→01:00 (bucket end) → twa 15.  Conv b: single obs at 00:50,
+    next obs in the NEXT hour → weight clamps to the bucket end
+    (600s), twa = its own value; the 01:10 obs opens a new bucket."""
+    from rollup_engine.tsops import time_weighted_avg
+
+    rows = [
+        ("a", 1, _ts("2024-01-01T00:00:00"), 10),
+        ("a", 2, _ts("2024-01-01T00:30:00"), 20),
+        ("b", 1, _ts("2024-01-01T00:50:00"), 40),
+        ("b", 2, _ts("2024-01-01T01:10:00"), 80),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, delta_ms long"
+    )
+    out = {
+        (r.conv_id, r.bucket_start.isoformat()): (
+            r.twa, r.obs_count, r.obs_weight_us
+        )
+        for r in time_weighted_avg(
+            df, "delta_ms", bucket="hour", by=["conv_id"],
+            order_tiebreak="turn_idx",
+        ).collect()
+    }
+    assert out[("a", "2024-01-01T00:00:00")] == (15.0, 2, 3_600_000_000)
+    assert out[("b", "2024-01-01T00:00:00")] == (40.0, 1, 600_000_000)
+    # the next-hour obs holds to ITS bucket end: 50 min
+    assert out[("b", "2024-01-01T01:00:00")] == (80.0, 1, 3_000_000_000)
+
+
+def test_ohlc_pinned_with_ties(spark):
+    """open/close resolve timestamp ties by the caller's total-order
+    key (here turn_idx via the padded string), high/low are plain
+    extremes."""
+    from pyspark.sql import functions as F
+
+    from rollup_engine.tsops import ohlc
+
+    t0 = _ts("2024-01-01T00:00:10")
+    rows = [
+        ("a", 1, t0, 30),
+        ("b", 2, t0, 10),                          # same ts as turn 1
+        ("a", 3, _ts("2024-01-01T00:00:40"), 99),
+        ("a", 4, _ts("2024-01-01T00:00:50"), 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, delta_ms long"
+    )
+    key = F.format_string(
+        "%020d|%s|%010d",
+        F.unix_micros(F.col("ts").cast("timestamp")),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+    )
+    r = ohlc(df, "delta_ms", bucket="minute", order_key=key).collect()[0]
+    assert (r.open, r.high, r.low, r.close, r.n) == (30, 99, 5, 5, 4)
+
+
+def test_rollup_interval_bucket_boundaries(spark):
+    """Exact epoch arithmetic: 00:04:59.999999 lands in the 00:00
+    bucket, 00:05:00.000000 opens 00:05 — no double-rounding flip."""
+    from rollup_engine.rollup import rollup_interval
+
+    rows = [
+        ("a", 1, _ts("2024-01-01T00:04:59.999999"), 7, None),
+        ("a", 2, _ts("2024-01-01T00:05:00"), 9, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, ts timestamp, delta_ms long,"
+        " tool string",
+    )
+    out = {
+        r.bucket_start.isoformat(): (r.tier, r.turn_count, r.lat_avg_ms)
+        for r in rollup_interval(df, 300).collect()
+    }
+    assert out["2024-01-01T00:00:00"] == ("300s", 1, 7)
+    assert out["2024-01-01T00:05:00"] == ("300s", 1, 9)
+
+
+def test_series_corr_pinned(spark):
+    """Perfect positive/negative coupling → ±1.0 exactly (integer
+    moments make the algebra exact); zero variance → NULL."""
+    from rollup_engine.tsops import series_corr
+
+    h0, h1, h2 = (
+        _ts("2024-01-01T00:00:00"),
+        _ts("2024-01-01T01:00:00"),
+        _ts("2024-01-01T02:00:00"),
+    )
+
+    def mins(h, pairs):
+        return [
+            (h + dt.timedelta(minutes=i), x, y)
+            for i, (x, y) in enumerate(pairs)
+        ]
+
+    rows = (
+        mins(h0, [(1, 10), (2, 20), (3, 30)])      # r = +1
+        + mins(h1, [(1, 30), (2, 20), (3, 10)])    # r = -1
+        + mins(h2, [(1, 5), (2, 5), (3, 5)])       # var(y)=0 -> NULL
+    )
+    df = spark.createDataFrame(
+        rows, "bucket_start timestamp, turn_count long, lat_avg_ms long"
+    )
+    out = {
+        r.bucket_start.isoformat(): r.corr
+        for r in series_corr(
+            df, "turn_count", "lat_avg_ms", bucket="hour",
+            ts_col="bucket_start",
+        ).collect()
+    }
+    assert out["2024-01-01T00:00:00"] == 1.0
+    assert out["2024-01-01T01:00:00"] == -1.0
+    assert out["2024-01-01T02:00:00"] is None
+
+
+def test_prom_histogram_cumulative_and_dense(spark):
+    """Every (bucket, le) pair is emitted — including boundaries with
+    no new observations — counts are cumulative, and the +Inf row
+    (int64 max) equals the bucket total."""
+    from rollup_engine.tsops import PROM_INF_MS, prom_histogram
+
+    t = _ts("2024-01-01T00:00:00")
+    rows = [
+        ("a", 1, t, 50),        # <= 100
+        ("a", 2, t, 400),       # <= 500
+        ("a", 3, t, 70_000),    # > 60000 -> +Inf only
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, delta_ms long"
+    )
+    out = {
+        r.le_ms: r.cum_count
+        for r in prom_histogram(df, "delta_ms", bucket="minute").collect()
+    }
+    assert out == {
+        100: 1, 500: 2, 1000: 2, 5000: 2, 10000: 2, 60000: 2,
+        PROM_INF_MS: 3,
+    }
