@@ -470,6 +470,26 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "session_seq")
 
 
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel LTTB downsampling (round-5): per-minute representative
+    latency point maximizing the triangle area with the neighboring
+    buckets' mean anchors; exact integer anchor sums + one fixed IEEE
+    area sequence, so both engines pick the same point (see
+    tsops.lttb_downsample)."""
+    from .tsops import lttb_downsample
+
+    d = (
+        _deltas(spark, sf_dir)
+        .select("conv_id", "turn_idx", "ts", "delta_ms")
+        .withColumn(
+            "tb", F.format_string("%s|%010d", F.col("conv_id"), F.col("turn_idx"))
+        )
+    )
+    return lttb_downsample(
+        d, bucket="minute", value_col="delta_ms", order_tiebreak="tb"
+    ).select("bucket_start", "ts", "delta_ms")
+
+
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average latency per (conversation, hour) — the
     TimescaleDB time_weight analog (round-5): each observation's value
@@ -545,6 +565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anomaly_zscore": q_anomaly_zscore,
     "ewma_latency": q_ewma_latency,
     "interval_join": q_interval_join,
+    "lttb_downsample": q_lttb_downsample,
     "time_weighted_avg": q_time_weighted_avg,
     "ohlc_minute": q_ohlc_minute,
     "rollup_5min": q_rollup_5min,
@@ -627,6 +648,7 @@ _DRIVER_TAIL = [
     "topk_convs",  # global top-k; the recorded topk_convs_hourly exercises the rank machinery
     "token_stats",  # groupBy over the recorded text_features' fingerprint relation
     "ann_bruteforce",  # single-query special case of the recorded knn_join kernel
+    "sessionize",  # its oracle IS stream_sessionize's (recorded in head) — the engine-twin rule
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _DRIVER_HEAD},
@@ -968,6 +990,44 @@ SELECT conv_id, turn_idx, delta_ms,
                         / (n - 1))
        END AS z
 FROM w"""
+
+# Parallel LTTB: mirrors tsops.lttb_downsample op for op — rebased-ms
+# integer anchor sums (BIGINT CASTs collapse DuckDB's HUGEINT), mean
+# anchors via LAG/LEAD over the bucket aggregate, the identical
+# two-product area expression, endpoint rule on raw epoch-µs, ties by
+# the same printf tiebreak string.
+ORACLES["lttb_downsample"] = f"""{_DELTAS_CTE},
+p AS (
+    SELECT date_trunc('minute', ts) AS b, ts,
+           (epoch_us(ts) - epoch_us(TIMESTAMP '2020-01-01')) // 1000 AS x,
+           epoch_us(ts) AS xus,
+           CAST(delta_ms AS DOUBLE) AS y,
+           printf('%s|%010d', conv_id, turn_idx) AS tb
+    FROM d WHERE delta_ms IS NOT NULL),
+a AS (
+    SELECT b, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, SUM(y) AS sy
+    FROM p GROUP BY 1),
+an AS (
+    SELECT b,
+           LAG(sx) OVER w / LAG(n) OVER w AS ax,
+           LAG(sy) OVER w / LAG(n) OVER w AS ay,
+           LEAD(sx) OVER w / LEAD(n) OVER w AS cx,
+           LEAD(sy) OVER w / LEAD(n) OVER w AS cy
+    FROM a WINDOW w AS (ORDER BY b)),
+s AS (
+    SELECT p.b, p.ts, p.y, p.tb,
+           CASE WHEN an.ax IS NULL THEN CAST(-p.xus AS DOUBLE)
+                WHEN an.cx IS NULL THEN CAST(p.xus AS DOUBLE)
+                ELSE ABS((an.ax - an.cx) * (p.y - an.ay)
+                         - (an.ax - CAST(p.x AS DOUBLE))
+                           * (an.cy - an.ay))
+           END AS score
+    FROM p JOIN an USING (b)),
+r AS (
+    SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY b ORDER BY score DESC, tb ASC) AS rn
+    FROM s)
+SELECT b AS bucket_start, ts, y AS delta_ms FROM r WHERE rn = 1"""
 
 # Time-weighted average: mirrors tsops.time_weighted_avg — filter null
 # deltas FIRST (so LEAD skips to the next observation), weight = µs to

@@ -492,3 +492,94 @@ def prom_histogram(
         .over(w)
         .alias("cum_count"),
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    bucket: str = "minute",
+    by: Sequence[str] = (),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str | None = None,
+    x_origin: str = "2020-01-01",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling, parallel variant:
+    one representative point per time bucket — the point maximizing the
+    triangle area with the NEIGHBORING BUCKETS' MEAN points (classic
+    LTTB anchors on the previously-selected point, which is inherently
+    sequential; the bucket-mean-anchor variant is the standard
+    parallelization, cf. MinMaxLTTB).  First/last buckets keep their
+    first/last point (the endpoint rule of Steinarsson's original).
+
+    Determinism contract (the tsops exactness pattern):
+    - ``value_col`` must be INTEGRAL-VALUED (sums of integer-valued
+      doubles stay exact below 2^53, so the mean anchors are
+      order-independent);
+    - anchor x-sums run over ms offsets from ``x_origin`` (a fixed
+      constant strictly before the data) in exact int64 — raw epoch-µs
+      sums would overflow int64 on ~5k-row buckets.  Area arithmetic is
+      shift-invariant, so the rebase does not change the argmax;
+    - the area is ONE fixed IEEE sequence (two products, one
+      subtraction — no add chain to re-bracket), identical in the
+      DuckDB oracle; exact area ties resolve by ``order_tiebreak``.
+
+    Plan: per-bucket aggregate (n, Σx, Σy) → lag/lead anchors over the
+    TINY bucket relation → join back → per-bucket rank.  The only
+    unpartitioned windows run over the bucket aggregate
+    (calendar-bounded — the gap-fill boundary-relation rule).
+    """
+    keyed = list(by)
+    e_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    o_us = F.unix_micros(F.to_timestamp(F.lit(x_origin)))
+    x_ms = F.floor((e_us - o_us) / F.lit(1000)).cast("long")
+    pts = df.where(F.col(value_col).isNotNull()).select(
+        *keyed,
+        F.date_trunc(bucket, F.col(ts_col)).alias("_b"),
+        F.col(ts_col),
+        x_ms.alias("_x"),
+        e_us.alias("_xus"),
+        F.col(value_col).cast("double").alias("_y"),
+        *([F.col(order_tiebreak).alias("_tb")] if order_tiebreak else []),
+    )
+    aggs = pts.groupBy(*keyed, "_b").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+    )
+    wb = Window.partitionBy(*keyed).orderBy("_b")
+    anchors = aggs.select(
+        *keyed,
+        "_b",
+        (F.lag("_sx").over(wb) / F.lag("_n").over(wb)).alias("_ax"),
+        (F.lag("_sy").over(wb) / F.lag("_n").over(wb)).alias("_ay"),
+        (F.lead("_sx").over(wb) / F.lead("_n").over(wb)).alias("_cx"),
+        (F.lead("_sy").over(wb) / F.lead("_n").over(wb)).alias("_cy"),
+    )
+    j = pts.join(anchors, [*keyed, "_b"])
+    # twice the triangle area with anchors A (prev) and C (next):
+    # (ax-cx)(y-ay) - (ax-x)(cy-ay), each factor a single subtraction
+    area = F.abs(
+        (F.col("_ax") - F.col("_cx")) * (F.col("_y") - F.col("_ay"))
+        - (F.col("_ax") - F.col("_x").cast("double"))
+        * (F.col("_cy") - F.col("_ay"))
+    )
+    # interior buckets: max area; first bucket (no prev anchor): the
+    # earliest point wins (score -x_µs); last bucket: the latest (+x_µs)
+    score = F.when(F.col("_ax").isNull(), (-F.col("_xus")).cast("double")).otherwise(
+        F.when(F.col("_cx").isNull(), F.col("_xus").cast("double")).otherwise(area)
+    )
+    tb = F.col("_tb") if order_tiebreak else F.col(ts_col)
+    wp = Window.partitionBy(*keyed, "_b").orderBy(F.desc("_score"), F.asc("_tbx"))
+    out_val = value_col if value_col != ts_col else "value"
+    return (
+        j.withColumn("_score", score)
+        .withColumn("_tbx", tb)
+        .withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") == 1)
+        .select(
+            *keyed,
+            F.col("_b").alias("bucket_start"),
+            F.col(ts_col),
+            F.col("_y").alias(out_val),
+        )
+    )

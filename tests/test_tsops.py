@@ -400,3 +400,106 @@ def test_prom_histogram_cumulative_and_dense(spark):
         100: 1, 500: 2, 1000: 2, 5000: 2, 10000: 2, 60000: 2,
         PROM_INF_MS: 3,
     }
+
+
+def test_lttb_pinned(spark):
+    """3 minute-buckets: first bucket keeps its earliest point, last
+    keeps its latest, the middle keeps the point with the largest
+    triangle area against the neighboring buckets' mean anchors
+    (here the outlier 100, not the near-mean 12)."""
+    from pyspark.sql import functions as F
+
+    from rollup_engine.tsops import lttb_downsample
+
+    rows = [
+        ("a", 1, _ts("2024-01-01T00:00:05"), 10),
+        ("a", 2, _ts("2024-01-01T00:00:40"), 12),
+        ("a", 3, _ts("2024-01-01T00:01:10"), 11),
+        ("a", 4, _ts("2024-01-01T00:01:30"), 100),   # big triangle
+        ("a", 5, _ts("2024-01-01T00:01:50"), 12),
+        ("a", 6, _ts("2024-01-01T00:02:20"), 10),
+        ("a", 7, _ts("2024-01-01T00:02:45"), 11),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, delta_ms long"
+    ).withColumn("tb", F.format_string("%s|%010d", "conv_id", "turn_idx"))
+    out = {
+        r.bucket_start.isoformat(): (r.ts.isoformat(), r.delta_ms)
+        for r in lttb_downsample(
+            df, bucket="minute", value_col="delta_ms", order_tiebreak="tb"
+        ).collect()
+    }
+    assert out["2024-01-01T00:00:00"] == ("2024-01-01T00:00:05", 10.0)
+    assert out["2024-01-01T00:01:00"] == ("2024-01-01T00:01:30", 100.0)
+    assert out["2024-01-01T00:02:00"] == ("2024-01-01T00:02:45", 11.0)
+
+
+def test_lttb_matches_numpy_reference(spark):
+    """Seeded random integral series: the selected points equal an
+    independent numpy implementation of the same parallel variant
+    (mean anchors, endpoint rule), and are stable under
+    repartitioning."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rollup_engine.tsops import lttb_downsample
+
+    rng = np.random.RandomState(11)
+    base = _ts("2024-01-01T00:00:00")
+    rows = []
+    for i in range(400):
+        ts = base + dt.timedelta(seconds=int(rng.randint(0, 3600)))
+        rows.append(("c", i, ts, int(rng.randint(0, 10_000))))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, delta_ms long"
+    ).withColumn("tb", F.format_string("%s|%010d", "conv_id", "turn_idx"))
+    got = {
+        r.bucket_start: (r.ts, r.delta_ms)
+        for r in lttb_downsample(
+            df.repartition(7), bucket="minute", value_col="delta_ms",
+            order_tiebreak="tb",
+        ).collect()
+    }
+
+    # independent reference
+    import collections
+
+    buckets = collections.defaultdict(list)
+    for cid, idx, ts, v in rows:
+        b = ts.replace(second=0, microsecond=0)
+        buckets[b].append((ts, v, f"{cid}|{idx:010d}"))
+    bs = sorted(buckets)
+    origin = dt.datetime(2020, 1, 1)
+
+    def ms(ts):
+        return int((ts - origin).total_seconds() * 1_000_000) // 1000
+
+    want = {}
+    for i, b in enumerate(bs):
+        pts = buckets[b]
+        if i == 0:
+            want[b] = min(pts, key=lambda p: (p[0], p[2]))[:2]
+            continue
+        if i == len(bs) - 1:
+            best = max(pts, key=lambda p: p[0])
+            # ties at the same µs resolve by smallest tb among maxima
+            cands = [p for p in pts if p[0] == best[0]]
+            want[b] = min(cands, key=lambda p: p[2])[:2]
+            continue
+        prev, nxt = buckets[bs[i - 1]], buckets[bs[i + 1]]
+        ax = sum(ms(p[0]) for p in prev) / len(prev)
+        ay = sum(p[1] for p in prev) / len(prev)
+        cx = sum(ms(p[0]) for p in nxt) / len(nxt)
+        cy = sum(p[1] for p in nxt) / len(nxt)
+        scored = [
+            (
+                -abs((ax - cx) * (p[1] - ay) - (ax - ms(p[0])) * (cy - ay)),
+                p[2],
+                p,
+            )
+            for p in pts
+        ]
+        want[b] = min(scored)[2][:2]
+    assert set(got) == set(want)
+    for b in want:
+        assert got[b] == (want[b][0], float(want[b][1])), b
