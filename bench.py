@@ -371,6 +371,11 @@ def write_baseline_md(payload: dict) -> None:
         "",
         f"sf dir: `{payload['sf_dir']}` ({payload['input_turns']:,} turns)",
         "",
+        "Correctness companion: the driver's CORRECTNESS_r{N}.json records "
+        "the first 50 registry gates; the committed GATES_FULL_r{N}.json "
+        "(`python scripts/run_all_gates.py`) covers EVERY registry gate "
+        "against its DuckDB oracle at sf0.01.",
+        "",
         "## Headline query wall times (local[%d])" % payload["cpus"],
         "",
         "Min of 3 timed reps (plan rebuilt per rep; post-JIT) — the same",
