@@ -470,6 +470,33 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "session_seq")
 
 
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift monitor (round-5): per-conversation
+    latency drift above a 1 s target, computed via the prefix identity
+    S⁺ = C − min(0, running min C) — exact int64 end to end (see
+    tsops.cusum)."""
+    from .tsops import cusum
+
+    d = _deltas(spark, sf_dir).select("conv_id", "turn_idx", "delta_ms")
+    return cusum(
+        d, "delta_ms", target=1000, slack=0, threshold=10_000,
+        by=["conv_id"], order_col="turn_idx",
+    )
+
+
+def q_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day overlay of the hour tier (round-5): each hour
+    bucket joined to the bucket 24 h earlier (a shifted-key LEFT
+    self-join, never a lag over possibly-missing buckets), with prev
+    and ratio columns (see tsops.period_over_period)."""
+    from .tsops import period_over_period
+
+    h = rollup(_deltas(spark, sf_dir), "hour").select(
+        "bucket_start", "turn_count"
+    )
+    return period_over_period(h, ["turn_count"], period="1 day")
+
+
 def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parallel LTTB downsampling (round-5): per-minute representative
     latency point maximizing the triangle area with the neighboring
@@ -566,6 +593,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma_latency": q_ewma_latency,
     "interval_join": q_interval_join,
     "lttb_downsample": q_lttb_downsample,
+    "cusum_drift": q_cusum_drift,
+    "day_over_day": q_day_over_day,
     "time_weighted_avg": q_time_weighted_avg,
     "ohlc_minute": q_ohlc_minute,
     "rollup_5min": q_rollup_5min,
@@ -650,9 +679,24 @@ _DRIVER_TAIL = [
     "ann_bruteforce",  # single-query special case of the recorded knn_join kernel
     "sessionize",  # its oracle IS stream_sessionize's (recorded in head) — the engine-twin rule
 ]
+# Unique operators past the 50-row budget: recorded by
+# scripts/run_all_gates.py (GATES_FULL_r{N}.json) and pytest-pinned;
+# placed before _DRIVER_TAIL so a larger driver budget picks them up
+# first.
+_DRIVER_OVERFLOW = [
+    "cusum_drift",
+    "day_over_day",
+]
 QUERIES = {
     **{k: QUERIES[k] for k in _DRIVER_HEAD},
-    **{k: v for k, v in QUERIES.items() if k not in _DRIVER_HEAD and k not in _DRIVER_TAIL},
+    **{
+        k: v
+        for k, v in QUERIES.items()
+        if k not in _DRIVER_HEAD
+        and k not in _DRIVER_TAIL
+        and k not in _DRIVER_OVERFLOW
+    },
+    **{k: QUERIES[k] for k in _DRIVER_OVERFLOW},
     **{k: QUERIES[k] for k in _DRIVER_TAIL},
 }
 
@@ -990,6 +1034,39 @@ SELECT conv_id, turn_idx, delta_ms,
                         / (n - 1))
        END AS z
 FROM w"""
+
+# CUSUM: the same prefix identity (C − min(0, running min C)), exact
+# BIGINT throughout — HUGEINT sums collapsed with CASTs.
+ORACLES["cusum_drift"] = f"""{_DELTAS_CTE},
+c AS (
+    SELECT conv_id, turn_idx, delta_ms,
+        CAST(SUM(delta_ms - 1000) OVER w AS BIGINT) AS cs
+    FROM d WHERE delta_ms IS NOT NULL
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS UNBOUNDED PRECEDING)),
+m AS (
+    SELECT *, CAST(MIN(cs) OVER w2 AS BIGINT) AS run_min
+    FROM c
+    WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS UNBOUNDED PRECEDING))
+SELECT conv_id, turn_idx, delta_ms,
+       cs - LEAST(CAST(0 AS BIGINT), run_min) AS cusum,
+       (cs - LEAST(CAST(0 AS BIGINT), run_min)) > 10000 AS drift
+FROM m"""
+
+# Day-over-day: shifted-bucket LEFT self-join over the hour tier;
+# ratio = BIGINT/BIGINT → DOUBLE in both engines.
+ORACLES["day_over_day"] = f"""{_DELTAS_CTE},
+h AS (
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           COUNT(delta_ms) AS turn_count
+    FROM d WHERE delta_ms IS NOT NULL GROUP BY 1)
+SELECT a.bucket_start, a.turn_count,
+       b.turn_count AS turn_count_prev,
+       CASE WHEN b.turn_count > 0
+            THEN a.turn_count / b.turn_count END AS turn_count_ratio
+FROM h a LEFT JOIN h b
+    ON b.bucket_start + INTERVAL 1 DAY = a.bucket_start"""
 
 # Parallel LTTB: mirrors tsops.lttb_downsample op for op — rebased-ms
 # integer anchor sums (BIGINT CASTs collapse DuckDB's HUGEINT), mean

@@ -583,3 +583,89 @@ def lttb_downsample(
             F.col("_y").alias(out_val),
         )
     )
+
+
+def cusum(
+    df: DataFrame,
+    value_col: str,
+    target: int,
+    slack: int = 0,
+    threshold: int | None = None,
+    by: Sequence[str] = ("conv_id",),
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """One-sided CUSUM drift statistic per key — the classic
+    change-detection monitor (Page 1954): how far the series has
+    drifted ABOVE ``target + slack``, reset whenever the running
+    evidence dips to zero.
+
+    The textbook recurrence S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − target − slack))
+    is a clamped scan — not directly a window function — but it has the
+    standard prefix identity S⁺ᵢ = Cᵢ − min(0, min_{j≤i} Cⱼ) where
+    Cᵢ is the plain cumulative sum of (xᵢ − target − slack): ONE
+    running sum + ONE running min, both over the same ordered window.
+    ``value_col``, ``target`` and ``slack`` are integers, so the whole
+    statistic is exact int64 — no float accumulation at all, hash-
+    identical in any engine and under any partitioning.
+
+    Adds ``cusum`` (int64) and, when ``threshold`` is given, ``drift``
+    (the monitor's alarm bit).  One exchange on the key, one sort, two
+    window aggregates.
+    """
+    w = (
+        Window.partitionBy(*list(by))
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = F.col(value_col).cast("long") - F.lit(int(target) + int(slack))
+    # two steps: Spark forbids nesting one window aggregate inside
+    # another expression's window — materialize C, then min over it
+    # (same window spec → same exchange + sort)
+    tmp = df.withColumn("_c", F.sum(dev).over(w))
+    run_min = F.min("_c").over(w)
+    out = tmp.withColumn(
+        "cusum", F.col("_c") - F.least(F.lit(0).cast("long"), run_min)
+    ).drop("_c")
+    if threshold is not None:
+        out = out.withColumn("drift", F.col("cusum") > int(threshold))
+    return out
+
+
+def period_over_period(
+    rollup_df: DataFrame,
+    value_cols: Sequence[str],
+    period: str = "1 day",
+    bucket_col: str = "bucket_start",
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Period-over-period comparison of a rollup (DoD/WoW — the
+    standard ops dashboard overlay): each bucket joined to the bucket
+    exactly ``period`` earlier, with ``<c>_prev`` and ``<c>_ratio``
+    columns.  A LEFT self-join on the shifted bucket key (NOT a lag
+    window: buckets can be missing, and a lag would silently compare
+    against whatever row happened to precede).  Ratio is one
+    long/long → double division (NULL when the prior value is 0 or
+    absent) — hash-stable cross-engine.
+
+    One shuffle of each side on (keys, bucket); with AQE the two scans
+    of the rollup dedupe via runtime exchange reuse (the gap-fill
+    bounds-join precedent).
+    """
+    keyed = list(by)
+    prev = rollup_df.select(
+        *keyed,
+        (F.col(bucket_col) + F.expr(f"INTERVAL {period}")).alias(bucket_col),
+        *[F.col(c).alias(f"{c}_prev") for c in value_cols],
+    )
+    out = rollup_df.select(*keyed, bucket_col, *value_cols).join(
+        prev, [*keyed, bucket_col], "left"
+    )
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}_ratio",
+            F.when(
+                F.col(f"{c}_prev") > 0,
+                F.col(c).cast("long") / F.col(f"{c}_prev").cast("long"),
+            ),
+        )
+    return out

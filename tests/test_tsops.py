@@ -503,3 +503,81 @@ def test_lttb_matches_numpy_reference(spark):
     assert set(got) == set(want)
     for b in want:
         assert got[b] == (want[b][0], float(want[b][1])), b
+
+
+def test_cusum_pinned(spark):
+    """CUSUM vs target 10: values 10,25,5,30 → deviations 0,15,-5,20;
+    plain cumsum 0,15,10,30; running min 0 → S⁺ = 0,15,10,30.  A long
+    under-run then spike resets: 10,0,0,50 → dev 0,-10,-10,40; cumsum
+    0,-10,-20,20; floor min(0,run_min) = 0,-10,-20,-20 → S⁺ =
+    0,0,0,40 (the clamp — evidence resets at zero, the spike counts
+    from the reset, matching the textbook recurrence)."""
+    from rollup_engine.tsops import cusum
+
+    rows = [("a", i, v) for i, v in enumerate([10, 25, 5, 30])]
+    rows += [("b", i, v) for i, v in enumerate([10, 0, 0, 50])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, delta_ms long"
+    )
+    out = {
+        (r.conv_id, r.turn_idx): (r.cusum, r.drift)
+        for r in cusum(
+            df, "delta_ms", target=10, threshold=20, by=["conv_id"],
+            order_col="turn_idx",
+        ).collect()
+    }
+    assert [out[("a", i)][0] for i in range(4)] == [0, 15, 10, 30]
+    assert [out[("b", i)][0] for i in range(4)] == [0, 0, 0, 40]
+    assert out[("a", 3)][1] is True and out[("b", 2)][1] is False
+
+
+def test_cusum_equals_textbook_recurrence(spark):
+    """Seeded random series: the window-identity implementation equals
+    the sequential max(0, prev + dev) recurrence exactly."""
+    import numpy as np
+
+    from rollup_engine.tsops import cusum
+
+    rng = np.random.RandomState(3)
+    vals = [int(v) for v in rng.randint(0, 2000, size=500)]
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, delta_ms long"
+    )
+    got = [
+        r.cusum
+        for r in sorted(
+            cusum(df.repartition(5), "delta_ms", target=900,
+                  by=["conv_id"], order_col="turn_idx").collect(),
+            key=lambda r: r.turn_idx,
+        )
+    ]
+    s, want = 0, []
+    for v in vals:
+        s = max(0, s + (v - 900))
+        want.append(s)
+    assert got == want
+
+
+def test_period_over_period_missing_buckets(spark):
+    """DoD joins the bucket exactly 24h earlier — a MISSING prior
+    bucket yields NULL prev/ratio (a lag window would silently compare
+    the wrong bucket); zero prior count yields NULL ratio."""
+    from rollup_engine.tsops import period_over_period
+
+    rows = [
+        (_ts("2024-01-01T05:00:00"), 10),
+        (_ts("2024-01-01T07:00:00"), 0),
+        (_ts("2024-01-02T05:00:00"), 25),   # prev = 10 → ratio 2.5
+        (_ts("2024-01-02T06:00:00"), 7),    # no prior bucket → NULLs
+        (_ts("2024-01-02T07:00:00"), 4),    # prev = 0 → NULL ratio
+    ]
+    df = spark.createDataFrame(rows, "bucket_start timestamp, turn_count long")
+    out = {
+        r.bucket_start.isoformat(): (r.turn_count_prev, r.turn_count_ratio)
+        for r in period_over_period(df, ["turn_count"], "1 day").collect()
+    }
+    assert out["2024-01-02T05:00:00"] == (10, 2.5)
+    assert out["2024-01-02T06:00:00"] == (None, None)
+    assert out["2024-01-02T07:00:00"] == (0, None)
+    assert out["2024-01-01T05:00:00"] == (None, None)
