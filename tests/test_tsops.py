@@ -581,3 +581,69 @@ def test_period_over_period_missing_buckets(spark):
     assert out["2024-01-02T06:00:00"] == (None, None)
     assert out["2024-01-02T07:00:00"] == (0, None)
     assert out["2024-01-01T05:00:00"] == (None, None)
+
+
+def _unpartitioned_windows_without_aggregate(df) -> list[str]:
+    """Same pin as tests/test_gapfill.py: any Window with an empty
+    partitionSpec must sit above an Aggregate (i.e. over a bucket-
+    bounded relation), never over the raw point relation."""
+
+    def _walk(node, fn):
+        fn(node)
+        for i in range(node.children().length()):
+            _walk(node.children().apply(i), fn)
+
+    bad: list[str] = []
+
+    def check(node):
+        if node.getClass().getSimpleName() != "Window":
+            return
+        if not node.partitionSpec().isEmpty():
+            return
+        seen = []
+        _walk(node, lambda n: seen.append(
+            n.getClass().getSimpleName() == "Aggregate"
+        ))
+        if not any(seen):
+            bad.append(node.toString()[:160])
+
+    _walk(df._jdf.queryExecution().optimizedPlan(), check)
+    return bad
+
+
+def test_new_ops_no_unpartitioned_window_over_points(spark):
+    """lttb (keyless: its anchor lag/lead runs over the bucket
+    aggregate) and prom_histogram (cumsum partitioned per bucket) must
+    never sort the point relation through one task."""
+    from pyspark.sql import functions as F
+
+    from rollup_engine.tsops import lttb_downsample, prom_histogram
+
+    rows = [
+        ("a", i, _ts("2024-01-01T00:00:00") + dt.timedelta(seconds=7 * i), (i * 37) % 1000)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, delta_ms long"
+    ).withColumn("tb", F.format_string("%s|%010d", "conv_id", "turn_idx"))
+    g = lttb_downsample(df, bucket="minute", value_col="delta_ms", order_tiebreak="tb")
+    assert _unpartitioned_windows_without_aggregate(g) == []
+    h = prom_histogram(df, "delta_ms", bucket="minute")
+    assert _unpartitioned_windows_without_aggregate(h) == []
+
+
+def test_cusum_single_exchange(spark):
+    """CUSUM = one hash exchange on the key, windows only — the same
+    plan shape as the delta extraction (no join, no extra shuffle)."""
+    import re
+
+    from rollup_engine.tsops import cusum
+
+    df = spark.createDataFrame(
+        [("a", 1, 10)], "conv_id string, turn_idx int, delta_ms long"
+    )
+    out = cusum(df, "delta_ms", target=10, by=["conv_id"], order_col="turn_idx")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
