@@ -416,6 +416,29 @@ def write_baseline_md(payload: dict) -> None:
             f"Suite total: **{payload['value']} s raw**, "
             f"**{payload['value_normalized']} s normalized**.",
         ]
+    if not sc:
+        # SPARK_GRAFT_SKIP_SCALING regeneration: PRESERVE the existing
+        # scaling sections verbatim instead of silently dropping them
+        # (the round-3 "regeneration must never drop sections" rule —
+        # previously only the cached micro-bench sections had this
+        # protection, and a skip-scaling run erased the scaling tables).
+        path = os.path.join(REPO, "BENCH", "BASELINE.md")
+        if os.path.exists(path):
+            with open(path) as f:
+                old = f.read()
+            start = old.find("## Two-parallelism scaling")
+            if start != -1:
+                stops = [
+                    old.find(h, start + 1)
+                    for h in (
+                        "## Structured-Streaming micro-bench",
+                        "## Shuffle-tuning experiment matrix",
+                        "## Multi-process scaling",
+                    )
+                ]
+                stops = [s for s in stops if s != -1]
+                block = old[start : min(stops)] if stops else old[start:]
+                lines += ["", block.rstrip()]
     if sc:
         lines += [
             "",
