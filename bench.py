@@ -108,7 +108,13 @@ def run_headline(
         # wall clock jitters ±30%, so a single rep can misattribute
         # noise to code (it did in round 2's +17% scare); min is the
         # same achievable-time estimator the scaling legs use.
-        _force(QUERIES[name](spark, sf_dir))  # untimed JIT/codegen warm-up
+        # TWO untimed warm-up passes (round-5): one pass under-warms
+        # deep multi-stage plans — rollup_hour_cascade measured a
+        # monotone 3.59→2.30 s descent over 5 post-warm-up reps in one
+        # window, i.e. codegen/JIT was still compiling during the timed
+        # region and min-of-3 recorded warm-up, not steady state.
+        _force(QUERIES[name](spark, sf_dir))
+        _force(QUERIES[name](spark, sf_dir))
         reps = []
         for _ in range(3):
             t0 = time.perf_counter()
