@@ -647,3 +647,80 @@ def test_cusum_single_exchange(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_time_weighted_avg_matches_pandas(spark):
+    """Seeded random irregular series: twa equals an independent pandas
+    implementation (hold-to-next-obs clamped at the bucket end)."""
+    import collections
+
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    base = _ts("2024-01-01T00:00:00")
+    rows = []
+    for k in ("a", "b"):
+        t = 0
+        for i in range(300):
+            t += int(rng.randint(1, 900))
+            rows.append((k, i, base + dt.timedelta(seconds=t),
+                         int(rng.randint(0, 5000))))
+    from rollup_engine.tsops import time_weighted_avg
+
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, delta_ms long"
+    )
+    got = {
+        (r.conv_id, r.bucket_start): (r.twa, r.obs_count, r.obs_weight_us)
+        for r in time_weighted_avg(
+            df, "delta_ms", bucket="hour", by=["conv_id"],
+            order_tiebreak="turn_idx",
+        ).collect()
+    }
+
+    # independent reference: per key, sort, weight = min(next_ts,
+    # own-bucket end) - ts in µs
+    per_key = collections.defaultdict(list)
+    for k, i, ts, v in rows:
+        per_key[k].append((ts, i, v))
+    want = {}
+    for k, pts in per_key.items():
+        pts.sort()
+        agg = collections.defaultdict(lambda: [0, 0, 0])  # vw, w, n
+        for j, (ts, _i, v) in enumerate(pts):
+            bucket = ts.replace(minute=0, second=0, microsecond=0)
+            bucket_end = bucket + dt.timedelta(hours=1)
+            nxt = pts[j + 1][0] if j + 1 < len(pts) else bucket_end
+            w = int((min(nxt, bucket_end) - ts).total_seconds() * 1e6)
+            a = agg[bucket]
+            a[0] += v * w
+            a[1] += w
+            a[2] += 1
+        for bucket, (vw, w, n) in agg.items():
+            want[(k, bucket)] = (vw / w if w > 0 else None, n, w)
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == want[key], key
+
+
+def test_lttb_large_bucket_no_overflow(spark):
+    """20k observations in ONE bucket: the rebased-ms anchor sums stay
+    inside int64 (raw epoch-µs sums overflow ANSI long around ~5k rows
+    — the bound the x_origin rebase exists for)."""
+    from pyspark.sql import functions as F
+
+    from rollup_engine.tsops import lttb_downsample
+
+    base = _ts("2024-01-01T00:00:00")
+    rows = [
+        ("c", i, base + dt.timedelta(minutes=i // 20000, microseconds=(i % 20000) * 2900),
+         (i * 13) % 4000)
+        for i in range(60000)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, delta_ms long"
+    ).withColumn("tb", F.format_string("%s|%010d", "conv_id", "turn_idx"))
+    out = lttb_downsample(
+        df, bucket="minute", value_col="delta_ms", order_tiebreak="tb"
+    ).collect()
+    assert len(out) == 3  # one representative per minute bucket
