@@ -872,8 +872,25 @@ def main() -> None:
             "reference_chunks_per_sec": REFERENCE_HW_CHUNKS_PER_SEC,
             "window_vs_reference": ratio,
         }
+        # Per-query normalization (round-5): the window drifts WITHIN a
+        # suite run — one run measured start/mid/end probes of
+        # 138/152/173 chunks/s, so early queries looked 40% "slower"
+        # under the old suite-median ratio.  Interpolate the capacity
+        # linearly over query position between the three probes and
+        # normalize each query by ITS stretch of the window.
+        n = len(times)
+
+        def _probe_at(i: int) -> float:
+            if n <= 1:
+                return window_hw
+            x = i / (n - 1) * 2  # position in [0, 2] over 3 probes
+            lo = min(int(x), 1)
+            frac = x - lo
+            return probes[lo] + (probes[lo + 1] - probes[lo]) * frac
+
         payload["queries_normalized"] = {
-            k: round(v * ratio, 3) for k, v in times.items()
+            k: round(v * _probe_at(i) / REFERENCE_HW_CHUNKS_PER_SEC, 3)
+            for i, (k, v) in enumerate(times.items())
         }
         payload["value_normalized"] = round(
             sum(payload["queries_normalized"].values()), 3
