@@ -582,6 +582,56 @@ def q_prom_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prom_histogram(_deltas(spark, sf_dir), "delta_ms", bucket="minute")
 
 
+def q_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL histogram_quantile(0.9) layered over prom_histogram's
+    cumulative relation (round-5): per-minute p90 by linear
+    interpolation inside the boundary bucket — cost independent of raw
+    volume because it reads the aggregated histogram, not the data
+    (see tsops.histogram_quantile)."""
+    from .tsops import histogram_quantile, prom_histogram
+
+    h = prom_histogram(_deltas(spark, sf_dir), "delta_ms", bucket="minute")
+    return histogram_quantile(h, q=0.9)
+
+
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal decomposition of the hourly latency series
+    (round-5): per-bucket average vs the all-history mean of its
+    hour-of-day, plus the residual — exact int64 sums, one division
+    per average, one subtraction (see tsops.seasonal_baseline)."""
+    from .tsops import seasonal_baseline
+
+    return seasonal_baseline(
+        _deltas(spark, sf_dir), "delta_ms", bucket="hour"
+    )
+
+
+def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup (round-5): 5-minute windows every minute
+    via Spark's native F.window(length, hop) — the stream-portable
+    smoothed monitoring view; each row lands in 5 windows, the
+    aggregate stays map-side combinable (see tsops.sliding_rollup)."""
+    from .tsops import sliding_rollup
+
+    return sliding_rollup(
+        _deltas(spark, sf_dir),
+        "delta_ms",
+        length="5 minutes",
+        hop="1 minute",
+    )
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase per user (round-5): the
+    product-analytics primitive as ONE shuffle + chained per-key window
+    minima (no k-way self-join); step k counts only strictly after
+    step k-1's earliest completion (see tsops.funnel)."""
+    from .tsops import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, steps=("view", "click", "purchase"), by="user_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_project": q_scan_project,
     "filter_terms": q_filter_terms,
@@ -600,6 +650,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_5min": q_rollup_5min,
     "corr_load_latency": q_corr_load_latency,
     "prom_histogram": q_prom_histogram,
+    "histogram_quantile": q_histogram_quantile,
+    "seasonal_baseline": q_seasonal_baseline,
+    "sliding_rollup": q_sliding_rollup,
+    "funnel_steps": q_funnel_steps,
     "filter_time": q_filter_time,
     "pair_deltas": q_pair_deltas,
     "rollup_minute": q_rollup_minute,
@@ -686,6 +740,10 @@ _DRIVER_TAIL = [
 _DRIVER_OVERFLOW = [
     "cusum_drift",
     "day_over_day",
+    "histogram_quantile",
+    "seasonal_baseline",
+    "sliding_rollup",
+    "funnel_steps",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _DRIVER_HEAD},
@@ -1214,6 +1272,109 @@ SELECT bucket_start, le_ms,
                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
            AS cum_count
 FROM f"""
+
+# PromQL histogram_quantile over the prom_histogram relation — the
+# oracle nests prom_histogram's own SQL verbatim so the two gates can
+# never drift.  target = ONE double mult; interpolation keeps every
+# diff in BIGINT and does one mult, one div, one add — no reassociable
+# chains (the EWMA/LTTB determinism rule).
+ORACLES["histogram_quantile"] = f"""WITH ph AS ({ORACLES["prom_histogram"]}),
+e AS (
+    SELECT bucket_start, le_ms, cum_count,
+           MAX(cum_count) OVER (PARTITION BY bucket_start) AS total,
+           COALESCE(LAG(le_ms) OVER w, CAST(0 AS BIGINT)) AS prev_le,
+           COALESCE(LAG(cum_count) OVER w, CAST(0 AS BIGINT)) AS prev_cum
+    FROM ph
+    WINDOW w AS (PARTITION BY bucket_start ORDER BY le_ms)),
+t2 AS (
+    SELECT *, CAST(0.9 AS DOUBLE) * CAST(total AS DOUBLE) AS target
+    FROM e WHERE total > 0),
+hit AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket_start
+                                 ORDER BY le_ms) AS rn
+    FROM t2 WHERE CAST(cum_count AS DOUBLE) >= target)
+SELECT bucket_start,
+       total AS turn_count,
+       CASE WHEN le_ms >= 9223372036854775807
+            THEN CAST(prev_le AS DOUBLE)
+            ELSE CAST(prev_le AS DOUBLE)
+                 + CAST(le_ms - prev_le AS DOUBLE)
+                 * (target - CAST(prev_cum AS DOUBLE))
+                 / CAST(cum_count - prev_cum AS DOUBLE)
+       END AS quantile_ms
+FROM hit WHERE rn = 1"""
+
+# Hour-of-day seasonal decomposition: exact BIGINT sums at both the
+# bucket and season level; each avg is one bigint/bigint → DOUBLE
+# division, residual one subtraction — bit-identical cross-engine.
+ORACLES["seasonal_baseline"] = f"""{_DELTAS_CTE},
+b AS (
+    SELECT date_trunc('hour', ts) AS bucket_start,
+           COUNT(delta_ms) AS turn_count,
+           CAST(SUM(delta_ms) AS BIGINT) AS s
+    FROM d WHERE delta_ms IS NOT NULL GROUP BY 1),
+se AS (
+    SELECT CAST(EXTRACT(hour FROM bucket_start) AS BIGINT) AS hod,
+           CAST(SUM(turn_count) AS BIGINT) AS scnt,
+           CAST(SUM(s) AS BIGINT) AS ssum
+    FROM b GROUP BY 1)
+SELECT b.bucket_start,
+       se.hod,
+       b.turn_count,
+       b.s / b.turn_count AS bucket_avg,
+       se.ssum / se.scnt AS seasonal_avg,
+       b.s / b.turn_count - se.ssum / se.scnt AS residual
+FROM b JOIN se ON CAST(EXTRACT(hour FROM b.bucket_start) AS BIGINT) = se.hod"""
+
+# Hopping windows: every observation lands in length/hop = 5 window
+# starts (exact epoch-µs arithmetic mirrors Spark's epoch-aligned
+# F.window); metrics are the tier conventions (floor-avg).
+ORACLES["sliding_rollup"] = f"""{_DELTAS_CTE},
+o AS (
+    SELECT make_timestamp(
+               epoch_us(date_trunc('minute', ts)) - 60000000 * k.k
+           ) AS bucket_start,
+           delta_ms
+    FROM d CROSS JOIN (SELECT UNNEST(range(5)) AS k) AS k
+    WHERE delta_ms IS NOT NULL)
+SELECT bucket_start,
+       COUNT(delta_ms) AS turn_count,
+       MIN(delta_ms) AS lat_min_ms,
+       MAX(delta_ms) AS lat_max_ms,
+       CAST(FLOOR(AVG(delta_ms)) AS BIGINT) AS lat_avg_ms
+FROM o GROUP BY 1"""
+
+# Ordered funnel via the chained-self-join definition (the engine uses
+# chained window minima — same semantics, one shuffle): step k's
+# earliest completion strictly after step k-1's.
+ORACLES["funnel_steps"] = """WITH
+u1 AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS step1_ts
+    FROM events GROUP BY 1),
+u2 AS (
+    SELECT e.user_id,
+           MIN(CASE WHEN e.event_type = 'click'
+                         AND u1.step1_ts IS NOT NULL
+                         AND e.ts > u1.step1_ts
+                    THEN e.ts END) AS step2_ts
+    FROM events e JOIN u1 USING (user_id) GROUP BY 1),
+u3 AS (
+    SELECT e.user_id,
+           MIN(CASE WHEN e.event_type = 'purchase'
+                         AND u2.step2_ts IS NOT NULL
+                         AND e.ts > u2.step2_ts
+                    THEN e.ts END) AS step3_ts
+    FROM events e JOIN u2 USING (user_id) GROUP BY 1)
+SELECT u1.user_id,
+       CAST(CASE WHEN step3_ts IS NOT NULL THEN 3
+                 WHEN step2_ts IS NOT NULL THEN 2
+                 WHEN step1_ts IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS step_reached,
+       step1_ts, step2_ts, step3_ts
+FROM u1
+LEFT JOIN u2 USING (user_id)
+LEFT JOIN u3 USING (user_id)"""
 
 
 def _ewma_oracle_sql(p: int = 7, q: int = 10, lags: int = 6) -> str:

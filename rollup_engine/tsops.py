@@ -669,3 +669,189 @@ def period_over_period(
             ),
         )
     return out
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    value_col: str,
+    bucket: str = "hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hour-of-day seasonal decomposition (STL-lite): each time bucket's
+    average vs the mean of ALL buckets sharing its hour-of-day, plus the
+    residual — the additive-seasonality anomaly baseline (TimescaleDB
+    users hand-roll this with a self-join; PromQL cannot express it).
+
+    Exactness recipe (the EWMA/z-score rule): every accumulation stays
+    in exact int64 (per-bucket count + sum, then seasonal sums of those
+    sums), each average is ONE bigint/bigint → double division, and the
+    residual is ONE double subtraction — no add-chain for Catalyst's
+    ReorderAssociativeOperator to re-bracket, so the doubles are
+    bit-identical cross-engine.
+
+    Scale shape: one map-side-combinable aggregation to the time tier
+    (the only pass over raw rows), a 24-row seasonal aggregate of that
+    tier, and a broadcast join back — no second shuffle of the data.
+    """
+    v = F.col(value_col)
+    tier = (
+        df.where(v.isNotNull())
+        .groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start"))
+        .agg(
+            F.count(v).alias("turn_count"),
+            F.sum(v).cast("long").alias("_s"),
+        )
+    )
+    # long hod: matches EXTRACT(hour ...)'s BIGINT in ANSI engines
+    hod = F.hour("bucket_start").cast("long")
+    season = tier.groupBy(hod.alias("hod")).agg(
+        F.sum("turn_count").cast("long").alias("_scnt"),
+        F.sum("_s").cast("long").alias("_ssum"),
+    )
+    out = tier.withColumn("hod", hod).join(F.broadcast(season), "hod")
+    bucket_avg = F.col("_s") / F.col("turn_count")
+    seasonal_avg = F.col("_ssum") / F.col("_scnt")
+    return out.select(
+        "bucket_start",
+        "hod",
+        "turn_count",
+        bucket_avg.alias("bucket_avg"),
+        seasonal_avg.alias("seasonal_avg"),
+        (bucket_avg - seasonal_avg).alias("residual"),
+    )
+
+
+def sliding_rollup(
+    df: DataFrame,
+    value_col: str,
+    length: str = "5 minutes",
+    hop: str = "1 minute",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hopping-window rollup (window length > hop): every observation
+    contributes to length/hop overlapping windows — the smoothed
+    monitoring view a tumbling tier cannot give (e.g. "5-minute error
+    rate, updated every minute").  Uses Spark's native
+    ``F.window(ts, length, hop)`` (the same operator Structured
+    Streaming uses for hopping aggregations, so this query is
+    stream-portable verbatim); the expansion is linear in length/hop
+    and the aggregation stays map-side combinable — at 100 TB the cost
+    is exactly (length/hop) × the tumbling tier, never a range join.
+    All metrics are exact integer folds; the avg is floor(sum/count)
+    like the rollup tiers.
+    """
+    v = F.col(value_col)
+    return (
+        df.where(v.isNotNull())
+        .groupBy(F.window(F.col(ts_col), length, hop).alias("_w"))
+        .agg(
+            F.count(v).alias("turn_count"),
+            F.min(v).alias("lat_min_ms"),
+            F.max(v).alias("lat_max_ms"),
+            F.floor(F.sum(v) / F.count(v)).cast("long").alias("lat_avg_ms"),
+        )
+        .select(
+            F.col("_w.start").alias("bucket_start"),
+            "turn_count",
+            "lat_min_ms",
+            "lat_max_ms",
+            "lat_avg_ms",
+        )
+    )
+
+
+def histogram_quantile(
+    hist_df: DataFrame,
+    q: float = 0.9,
+    max_le_ms: int = PROM_INF_MS,
+) -> DataFrame:
+    """PromQL ``histogram_quantile(q, ...)`` over the cumulative
+    histogram relation ``prom_histogram`` emits (bucket_start, le_ms,
+    cum_count): per time bucket, linear interpolation inside the first
+    boundary bucket whose cumulative count reaches q × total — the
+    exact PromQL estimator, including its two edge rules (the first
+    bucket interpolates from 0; a quantile landing in +Inf returns the
+    highest finite boundary).
+
+    Operates on the ALREADY-AGGREGATED histogram relation (rows =
+    buckets × |boundaries|), so cost is independent of raw data volume
+    — the layering that makes the estimator free at 100 TB.  Doubles
+    are deterministic cross-engine: target = one mult, then one
+    (bigint-diff × double-diff) / bigint-diff + bigint chain with no
+    reassociable add chains; all count/boundary diffs stay int64.
+    """
+    wb = Window.partitionBy("bucket_start")
+    wo = wb.orderBy("le_ms")
+    zero = F.lit(0).cast("long")
+    e = (
+        hist_df.withColumn("total", F.max("cum_count").over(wb))
+        .where(F.col("total") > 0)
+        .withColumn("target", F.lit(float(q)) * F.col("total").cast("double"))
+        .withColumn("prev_le", F.coalesce(F.lag("le_ms").over(wo), zero))
+        .withColumn("prev_cum", F.coalesce(F.lag("cum_count").over(wo), zero))
+    )
+    hit = e.where(F.col("cum_count").cast("double") >= F.col("target"))
+    first = hit.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("bucket_start").orderBy("le_ms"))
+    ).where(F.col("_rn") == 1)
+    interp = (
+        F.col("prev_le").cast("double")
+        + (F.col("le_ms") - F.col("prev_le")).cast("double")
+        * (F.col("target") - F.col("prev_cum").cast("double"))
+        / (F.col("cum_count") - F.col("prev_cum")).cast("double")
+    )
+    return first.select(
+        "bucket_start",
+        F.col("total").alias("turn_count"),
+        F.when(F.col("le_ms") >= F.lit(max_le_ms), F.col("prev_le").cast("double"))
+        .otherwise(interp)
+        .alias("quantile_ms"),
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    by: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis over an event stream: for each key, the
+    earliest time each step could complete given the previous step's
+    completion time (step k counts only strictly AFTER step k-1), plus
+    the step count reached — the product-analytics primitive (Amplitude
+    /Mixpanel funnels; SQL engines express it as k chained self-joins).
+
+    Shape: ONE exchange on the key, then k chained per-key window
+    minima over the same partitioning (Catalyst plans k Window nodes
+    sharing one sort+exchange — the self-join-free formulation), and a
+    final per-key aggregate that reuses the partitioning again.  At
+    100 TB this is a single shuffle of the events table, independent of
+    k; the greedy earliest-completion recurrence is the standard funnel
+    semantics (matching the chained-join definition exactly).
+    """
+    w = Window.partitionBy(by)
+    e = df.select(by, ts_col, type_col)
+    prev = None
+    tcols = []
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == F.lit(step)
+        if prev is not None:
+            cond = cond & prev.isNotNull() & (F.col(ts_col) > prev)
+        tcol = f"_t{i + 1}"
+        e = e.withColumn(tcol, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = F.col(tcol)
+        tcols.append(tcol)
+    agg = e.groupBy(by).agg(
+        *[F.max(t).alias(f"step{i + 1}_ts") for i, t in enumerate(tcols)]
+    )
+    reached = F.lit(0)
+    for i in range(len(steps)):
+        reached = F.when(
+            F.col(f"step{i + 1}_ts").isNotNull(), F.lit(i + 1)
+        ).otherwise(reached)
+    return agg.select(
+        by,
+        reached.cast("int").alias("step_reached"),
+        *[f"step{i + 1}_ts" for i in range(len(steps))],
+    )

@@ -724,3 +724,173 @@ def test_lttb_large_bucket_no_overflow(spark):
         df, bucket="minute", value_col="delta_ms", order_tiebreak="tb"
     ).collect()
     assert len(out) == 3  # one representative per minute bucket
+
+
+def test_seasonal_baseline_pinned(spark):
+    """Two days × two hours-of-day: seasonal mean pools the same
+    hour-of-day across days; residual = bucket_avg - seasonal_avg."""
+    from rollup_engine.tsops import seasonal_baseline
+
+    rows = [
+        # hod 0: day-1 values (10, 20) avg 15; day-2 value (60) avg 60
+        ("a", 1, _ts("2024-01-01T00:10:00"), 10),
+        ("a", 2, _ts("2024-01-01T00:20:00"), 20),
+        ("a", 3, _ts("2024-01-02T00:05:00"), 60),
+        # hod 5: single bucket, residual exactly 0
+        ("a", 4, _ts("2024-01-01T05:00:00"), 7),
+        # null measure rows are invisible (A1 count semantics)
+        ("a", 5, _ts("2024-01-01T00:30:00"), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, delta_ms long"
+    )
+    out = {
+        r.bucket_start: r
+        for r in seasonal_baseline(df, "delta_ms", bucket="hour").collect()
+    }
+    assert len(out) == 3
+    b0 = out[_ts("2024-01-01T00:00:00")]
+    # seasonal mean of hod 0 = (10+20+60)/3 = 30.0
+    assert (b0.hod, b0.turn_count, b0.bucket_avg, b0.seasonal_avg) == (
+        0, 2, 15.0, 30.0,
+    )
+    assert b0.residual == -15.0
+    b2 = out[_ts("2024-01-02T00:00:00")]
+    assert (b2.bucket_avg, b2.seasonal_avg, b2.residual) == (60.0, 30.0, 30.0)
+    b5 = out[_ts("2024-01-01T05:00:00")]
+    assert (b5.hod, b5.bucket_avg, b5.residual) == (5, 7.0, 0.0)
+
+
+def test_seasonal_baseline_broadcasts_season(spark):
+    """The 24-row seasonal relation must broadcast — the tier-sized
+    side never shuffles for the join."""
+    from rollup_engine.tsops import seasonal_baseline
+
+    df = spark.createDataFrame(
+        [("a", 1, _ts("2024-01-01T00:10:00"), 10)],
+        "conv_id string, turn_idx int, ts timestamp, delta_ms long",
+    )
+    plan = seasonal_baseline(df, "delta_ms")._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan or "broadcast" in plan.lower()
+
+
+def test_sliding_rollup_pinned(spark):
+    """One observation lands in exactly length/hop = 5 hopping windows;
+    overlapping windows aggregate the union of their minutes."""
+    from rollup_engine.tsops import sliding_rollup
+
+    rows = [
+        ("a", 1, _ts("2024-01-01T00:10:30"), 100),
+        ("a", 2, _ts("2024-01-01T00:12:30"), 300),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, delta_ms long"
+    )
+    out = {
+        r.bucket_start: r
+        for r in sliding_rollup(
+            df, "delta_ms", length="5 minutes", hop="1 minute"
+        ).collect()
+    }
+    # first obs → windows starting 00:06..00:10; second → 00:08..00:12
+    assert min(out) == _ts("2024-01-01T00:06:00")
+    assert max(out) == _ts("2024-01-01T00:12:00")
+    assert len(out) == 7
+    solo = out[_ts("2024-01-01T00:06:00")]
+    assert (solo.turn_count, solo.lat_avg_ms) == (1, 100)
+    both = out[_ts("2024-01-01T00:09:00")]
+    assert (both.turn_count, both.lat_min_ms, both.lat_max_ms,
+            both.lat_avg_ms) == (2, 100, 300, 200)
+    tail = out[_ts("2024-01-01T00:12:00")]
+    assert (tail.turn_count, tail.lat_avg_ms) == (1, 300)
+
+
+def test_histogram_quantile_pinned(spark):
+    """Hand-checked PromQL interpolation, incl. the first-bucket
+    (lower bound 0) and +Inf (highest finite le) edge rules."""
+    from rollup_engine.tsops import histogram_quantile, prom_histogram
+
+    b1 = _ts("2024-01-01T00:00:00")
+    b2 = _ts("2024-01-01T00:01:00")
+    b3 = _ts("2024-01-01T00:02:00")
+    rows = (
+        # bucket 1: 10 obs ≤100, 10 obs in (100,500]
+        [("a", i, b1, 50) for i in range(10)]
+        + [("a", 10 + i, b1, 200) for i in range(10)]
+        # bucket 2: all 4 obs in the first bucket (interpolate from 0)
+        + [("b", i, b2, 80) for i in range(4)]
+        # bucket 3: 1 obs beyond the last finite boundary (+Inf rule)
+        + [("c", 0, b3, 99_999_999)]
+    )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, delta_ms long"
+    )
+    h = prom_histogram(df, "delta_ms", bucket="minute")
+    out = {r.bucket_start: r for r in histogram_quantile(h, q=0.9).collect()}
+    # bucket 1: target 18 of 20 → (18-10)/10 through (100,500]
+    assert out[b1].quantile_ms == 100.0 + 400.0 * (18.0 - 10.0) / 10.0
+    # bucket 2: target 3.6 of 4 → 0 + 100·(3.6/4)
+    assert out[b2].quantile_ms == 100.0 * (0.9 * 4.0) / 4.0
+    # bucket 3: quantile in +Inf → highest finite boundary
+    assert out[b3].quantile_ms == 60000.0
+    assert out[b1].turn_count == 20
+
+
+def test_funnel_pinned(spark):
+    """Order-sensitive funnel: out-of-order and tied steps don't count;
+    step k must be strictly after step k-1."""
+    from rollup_engine.tsops import funnel
+
+    t0 = _ts("2024-01-01T00:00:00")
+
+    def r(uid, etype, minutes):
+        return (uid, etype, t0 + dt.timedelta(minutes=minutes))
+
+    rows = [
+        # u1: full funnel in order
+        r(1, "view", 0), r(1, "click", 5), r(1, "purchase", 9),
+        # u2: click BEFORE view → funnel stops at view
+        r(2, "click", 0), r(2, "view", 5),
+        # u3: click tied with view (strict > excludes) then late click
+        r(3, "view", 0), r(3, "click", 0), r(3, "click", 7),
+        # u4: purchase without click → stops at view
+        r(4, "view", 0), r(4, "purchase", 3),
+        # u5: no funnel events at all
+        r(5, "error", 1),
+        # u6: greedy earliest view, later click still counts
+        r(6, "view", 0), r(6, "view", 10), r(6, "click", 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {
+        row.user_id: row
+        for row in funnel(
+            df, steps=("view", "click", "purchase"), by="user_id"
+        ).collect()
+    }
+    assert out[1].step_reached == 3
+    assert out[1].step3_ts == t0 + dt.timedelta(minutes=9)
+    assert out[2].step_reached == 1  # click at t0 precedes view
+    assert out[3].step_reached == 2
+    assert out[3].step2_ts == t0 + dt.timedelta(minutes=7)
+    assert out[4].step_reached == 1
+    assert out[5].step_reached == 0
+    assert out[6].step_reached == 2
+    assert out[6].step2_ts == t0 + dt.timedelta(minutes=5)
+
+
+def test_funnel_single_exchange(spark):
+    """k chained window minima + final aggregate share ONE hash
+    exchange on the key — the self-join-free funnel shape."""
+    import re
+
+    from rollup_engine.tsops import funnel
+
+    df = spark.createDataFrame(
+        [(1, "view", _ts("2024-01-01T00:00:00"))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = funnel(df, steps=("view", "click", "purchase"), by="user_id")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
