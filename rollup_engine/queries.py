@@ -632,6 +632,38 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, steps=("view", "click", "purchase"), by="user_id")
 
 
+def q_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hysteresis latency alerting per conversation (round-5): rising
+    at ≥60 s inter-turn latency, clearing below 20 s; the in-between
+    band holds state (no flapping).  The sequential alert state machine
+    is the LOCF carry — one keyed window, no recursion (see
+    tsops.threshold_alerts)."""
+    from .tsops import threshold_alerts
+
+    d = _deltas(spark, sf_dir).select("conv_id", "turn_idx", "delta_ms")
+    return threshold_alerts(
+        d,
+        "delta_ms",
+        enter=60_000_000,
+        exit=20_000_000,
+        by=["conv_id"],
+        order_col="turn_idx",
+    )
+
+
+def q_uptime_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands coverage intervals over the minute tier
+    (round-5): contiguous runs of active minutes collapse to interval
+    rows via the epoch − row_number × width islands key — computed on
+    the aggregated tier, never the raw data (see tsops.uptime_islands)."""
+    from .tsops import uptime_islands
+
+    m = rollup(_deltas(spark, sf_dir), "minute").select(
+        "bucket_start", "turn_count"
+    )
+    return uptime_islands(m, bucket="minute")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_project": q_scan_project,
     "filter_terms": q_filter_terms,
@@ -654,6 +686,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_baseline": q_seasonal_baseline,
     "sliding_rollup": q_sliding_rollup,
     "funnel_steps": q_funnel_steps,
+    "threshold_alerts": q_threshold_alerts,
+    "uptime_islands": q_uptime_islands,
     "filter_time": q_filter_time,
     "pair_deltas": q_pair_deltas,
     "rollup_minute": q_rollup_minute,
@@ -744,6 +778,8 @@ _DRIVER_OVERFLOW = [
     "seasonal_baseline",
     "sliding_rollup",
     "funnel_steps",
+    "threshold_alerts",
+    "uptime_islands",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _DRIVER_HEAD},
@@ -1375,6 +1411,54 @@ SELECT u1.user_id,
 FROM u1
 LEFT JOIN u2 USING (user_id)
 LEFT JOIN u3 USING (user_id)"""
+
+# Hysteresis alerting: the decided states (1 at ≥enter, 0 at <exit)
+# are sparse observations and LAST_VALUE(... IGNORE NULLS) carries
+# them — the LOCF pattern expresses the sequential state machine with
+# no recursion; edges = state != lag(state).
+ORACLES["threshold_alerts"] = f"""{_DELTAS_CTE},
+s AS (
+    SELECT conv_id, turn_idx, delta_ms,
+           CASE WHEN delta_ms >= 60000000 THEN CAST(1 AS BIGINT)
+                WHEN delta_ms < 20000000 THEN CAST(0 AS BIGINT)
+           END AS raw
+    FROM d WHERE delta_ms IS NOT NULL),
+c AS (
+    SELECT conv_id, turn_idx, delta_ms,
+           COALESCE(LAST_VALUE(raw IGNORE NULLS) OVER
+                        (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS UNBOUNDED PRECEDING),
+                    CAST(0 AS BIGINT)) AS state
+    FROM s),
+p AS (
+    SELECT *,
+           COALESCE(LAG(state) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx),
+                    CAST(0 AS BIGINT)) AS prev
+    FROM c)
+SELECT conv_id, turn_idx, delta_ms, state,
+       CASE WHEN state = 1 THEN 'rising' ELSE 'clearing' END AS direction
+FROM p WHERE state != prev"""
+
+# Gaps-and-islands over the minute tier: epoch − row_number × width is
+# constant within a contiguous run; one window + one aggregate over the
+# calendar-bounded tier.
+ORACLES["uptime_islands"] = f"""{_DELTAS_CTE},
+m AS (
+    SELECT date_trunc('minute', ts) AS bucket_start,
+           COUNT(delta_ms) AS turn_count
+    FROM d WHERE delta_ms IS NOT NULL GROUP BY 1),
+i AS (
+    SELECT bucket_start, turn_count,
+           epoch_us(bucket_start)
+               - 60000000 * ROW_NUMBER() OVER (ORDER BY bucket_start)
+               AS g
+    FROM m)
+SELECT MIN(bucket_start) AS island_start,
+       MAX(bucket_start) AS island_end,
+       COUNT(*) AS n_buckets,
+       CAST(SUM(turn_count) AS BIGINT) AS turn_count
+FROM i GROUP BY g"""
 
 
 def _ewma_oracle_sql(p: int = 7, q: int = 10, lags: int = 6) -> str:

@@ -855,3 +855,90 @@ def funnel(
         reached.cast("int").alias("step_reached"),
         *[f"step{i + 1}_ts" for i in range(len(steps))],
     )
+
+
+def threshold_alerts(
+    df: DataFrame,
+    value_col: str,
+    enter: int,
+    exit: int,
+    by: Sequence[str] = (),
+    order_col: str = "ts",
+) -> DataFrame:
+    """Hysteresis threshold alerting (the Prometheus ALERTS-series /
+    Grafana alert-rule primitive): per key, emit a row at every state
+    TRANSITION — ``rising`` when the value reaches ``enter``,
+    ``clearing`` when it falls below ``exit`` — with values in
+    [exit, enter) holding the previous state (the hysteresis band that
+    stops alert flapping).
+
+    The sequential state machine is exactly the LOCF carry pattern:
+    decided states (1 at ≥enter, 0 at <exit) are sparse observations
+    and ``last(ignorenulls)`` carries them — no recursion, no UDF, one
+    keyed window exchange shared by the carry and the edge-detect lag.
+    All comparisons are exact int64; the emitted schema is integral +
+    a literal direction string — trivially hash-stable.
+    """
+    if not (enter > exit):
+        raise ValueError("hysteresis needs enter > exit")
+    v = F.col(value_col)
+    w = Window.partitionBy(*by).orderBy(order_col)
+    raw = (
+        F.when(v >= F.lit(int(enter)), F.lit(1))
+        .when(v < F.lit(int(exit)), F.lit(0))
+        .cast("long")
+    )
+    carried = F.last(raw, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    zero = F.lit(0).cast("long")
+    e = df.where(v.isNotNull()).withColumn(
+        "state", F.coalesce(carried, zero)
+    )
+    e = e.withColumn("_prev", F.coalesce(F.lag("state").over(w), zero))
+    return (
+        e.where(F.col("state") != F.col("_prev"))
+        .withColumn(
+            "direction",
+            F.when(F.col("state") == 1, F.lit("rising")).otherwise(
+                F.lit("clearing")
+            ),
+        )
+        .select(*by, order_col, value_col, "state", "direction")
+    )
+
+
+def uptime_islands(
+    tier_df: DataFrame,
+    bucket: str = "minute",
+    by: Sequence[str] = (),
+    bucket_col: str = "bucket_start",
+    count_col: str = "turn_count",
+) -> DataFrame:
+    """Gaps-and-islands over a rollup tier: contiguous runs of present
+    buckets collapse to one interval row (island start/end, bucket
+    count, total activity) — the uptime/coverage-interval view that
+    dashboards derive from gap-fill's inverse.
+
+    The classic islands key: ``bucket_epoch − row_number × width`` is
+    constant within a run — one keyed window (row_number) + one
+    aggregate, both over the ALREADY-AGGREGATED tier (calendar-bounded,
+    the gap-fill precedent), never the raw data.  Exact int64 µs
+    arithmetic throughout.
+    """
+    width_us = {"minute": 60, "hour": 3600, "day": 86400}[bucket] * 1_000_000
+    w = Window.partitionBy(*by).orderBy(bucket_col)
+    epoch = F.unix_micros(F.col(bucket_col).cast("timestamp"))
+    grp = epoch - F.row_number().over(w).cast("long") * F.lit(width_us)
+    return (
+        tier_df.withColumn("_g", grp)
+        .groupBy(*by, "_g")
+        .agg(
+            F.min(bucket_col).alias("island_start"),
+            F.max(bucket_col).alias("island_end"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(count_col).cast("long").alias(count_col),
+        )
+        .drop("_g")
+        .select(*by, "island_start", "island_end", "n_buckets", count_col)
+    )

@@ -894,3 +894,116 @@ def test_funnel_single_exchange(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_threshold_alerts_pinned(spark):
+    """Hysteresis semantics: values in [exit, enter) hold the previous
+    state; only transitions emit rows."""
+    from rollup_engine.tsops import threshold_alerts
+
+    vals = [
+        # (turn_idx, value) — enter=100, exit=50
+        (1, 10),   # below: state 0, no edge (prev defaults 0)
+        (2, 120),  # >=100: rising
+        (3, 70),   # hysteresis band: holds 1, no edge
+        (4, 40),   # <50: clearing
+        (5, 60),   # band: holds 0, no edge
+        (6, 100),  # boundary: enter is inclusive → rising
+        (7, None), # null measure invisible
+        (8, 49),   # clearing (exit exclusive: 49 < 50)
+    ]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in vals],
+        "conv_id string, turn_idx int, delta_ms long",
+    )
+    out = threshold_alerts(
+        df, "delta_ms", enter=100, exit=50, by=["conv_id"], order_col="turn_idx"
+    ).collect()
+    edges = [(r.turn_idx, r.state, r.direction) for r in sorted(out, key=lambda r: r.turn_idx)]
+    assert edges == [
+        (2, 1, "rising"),
+        (4, 0, "clearing"),
+        (6, 1, "rising"),
+        (8, 0, "clearing"),
+    ]
+
+
+def test_threshold_alerts_first_row_above(spark):
+    """A key whose first observation is already ≥ enter fires rising
+    immediately (prev state defaults to 0)."""
+    from rollup_engine.tsops import threshold_alerts
+
+    df = spark.createDataFrame(
+        [("a", 1, 500)], "conv_id string, turn_idx int, delta_ms long"
+    )
+    out = threshold_alerts(
+        df, "delta_ms", enter=100, exit=50, by=["conv_id"], order_col="turn_idx"
+    ).collect()
+    assert [(r.turn_idx, r.direction) for r in out] == [(1, "rising")]
+
+
+def test_threshold_alerts_single_exchange(spark):
+    """Carry + edge-detect lag share one hash exchange on the key."""
+    import re
+
+    from rollup_engine.tsops import threshold_alerts
+
+    df = spark.createDataFrame(
+        [("a", 1, 500)], "conv_id string, turn_idx int, delta_ms long"
+    )
+    out = threshold_alerts(
+        df, "delta_ms", enter=100, exit=50, by=["conv_id"], order_col="turn_idx"
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_uptime_islands_pinned(spark):
+    """Contiguous minutes collapse; a missing minute splits islands;
+    counts sum within each island."""
+    from rollup_engine.tsops import uptime_islands
+
+    rows = [
+        (_ts("2024-01-01T00:00:00"), 3),
+        (_ts("2024-01-01T00:01:00"), 5),
+        (_ts("2024-01-01T00:02:00"), 2),
+        # 00:03 missing → new island
+        (_ts("2024-01-01T00:04:00"), 7),
+        # big gap
+        (_ts("2024-01-01T02:00:00"), 1),
+    ]
+    df = spark.createDataFrame(rows, "bucket_start timestamp, turn_count long")
+    out = sorted(
+        uptime_islands(df, bucket="minute").collect(),
+        key=lambda r: r.island_start,
+    )
+    got = [
+        (r.island_start, r.island_end, r.n_buckets, r.turn_count) for r in out
+    ]
+    assert got == [
+        (_ts("2024-01-01T00:00:00"), _ts("2024-01-01T00:02:00"), 3, 10),
+        (_ts("2024-01-01T00:04:00"), _ts("2024-01-01T00:04:00"), 1, 7),
+        (_ts("2024-01-01T02:00:00"), _ts("2024-01-01T02:00:00"), 1, 1),
+    ]
+
+
+def test_uptime_islands_keyed(spark):
+    """Per-key islands: each key gets its own runs (and its own
+    partitioned window)."""
+    from rollup_engine.tsops import uptime_islands
+
+    rows = [
+        ("x", _ts("2024-01-01T00:00:00"), 1),
+        ("x", _ts("2024-01-01T00:01:00"), 1),
+        ("y", _ts("2024-01-01T00:01:00"), 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "role string, bucket_start timestamp, turn_count long"
+    )
+    out = sorted(
+        uptime_islands(df, bucket="minute", by=["role"]).collect(),
+        key=lambda r: (r.role, r.island_start),
+    )
+    assert [(r.role, r.n_buckets) for r in out] == [("x", 2), ("y", 1)]
