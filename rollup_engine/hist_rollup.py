@@ -316,6 +316,96 @@ def hist_rollup(
     )
 
 
+def hist_sliding(
+    rollup_df: DataFrame,
+    length: str = "5 minutes",
+    hop: str = "1 minute",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Hopping-window re-aggregation of a hist tier: full metric set
+    (count/min/max/avg/sum/percentiles/error rates) for every sliding
+    window of ``length`` advancing by ``hop`` — assembled by MERGING the
+    tier's per-bucket histogram state, never re-reading raw data.
+
+    This is ``hist_cascade`` with the tumbling ``date_trunc`` target
+    swapped for Spark's native ``F.window(length, hop)`` grouping: the
+    analyzer's TimeWindowing rule expands each tier bucket into its
+    length/hop windows (an Expand node — map-side, no join, and the
+    same rewrite Structured Streaming uses, so the plan is
+    stream-portable).  Cost = (length/hop) × tier state, independent of
+    raw row volume — the monitoring dashboard's "p99 over the last 5
+    minutes, refreshed every minute" at 100 TB reads the minute tier,
+    not the events.
+
+    Exact carries (count/min/max/sum/avg, error counters) ride the
+    pos-0 attribution exactly as in the cascade; each source bucket
+    contributes its carries once to EVERY window that contains it.
+    Percentiles re-derive from the merged (value, count) rows — exact
+    while every contributing bucket is exact, within the documented γ
+    bound otherwise; windows whose merged distinct-value count exceeds
+    ``max_bins`` re-quantize, so per-window state stays bounded no
+    matter how many buckets a window spans.
+    """
+    keys = list(extra_keys or [])
+    first = F.col("_pos") == 0
+    guarded = rollup_df.withColumn(
+        "hist",
+        F.when(F.col("hist").isNotNull(), F.col("hist")).otherwise(
+            F.raise_error(
+                F.lit(
+                    "hist_sliding: input row has hist=NULL (sketch-tier "
+                    "row?) — sliding windows need hist-engine tiers"
+                )
+            )
+        ),
+    )
+    h = (
+        guarded.select(
+            "bucket_start",
+            *keys,
+            F.posexplode("hist").alias("_pos", "_e"),
+            "err4xx_cnt",
+            "err5xx_cnt",
+            "lat_min_ms",
+            "lat_max_ms",
+            "lat_sum_ms",
+        )
+        .select(
+            "bucket_start",
+            *keys,
+            F.col("_e.v").alias("_v"),
+            F.col("_e.c").alias("_c"),
+            F.when(first, F.col("err4xx_cnt")).otherwise(F.lit(0)).alias("_e4"),
+            F.when(first, F.col("err5xx_cnt")).otherwise(F.lit(0)).alias("_e5"),
+            F.when(first, F.col("lat_min_ms")).alias("_xmin"),
+            F.when(first, F.col("lat_max_ms")).alias("_xmax"),
+            F.when(first, F.col("lat_sum_ms")).otherwise(F.lit(0)).alias("_xsum"),
+        )
+        # Expand (one output row per containing window) happens HERE,
+        # then the map-side combine compresses duplicate values within
+        # each window before the shuffle — same two-exchange shape as
+        # the cascade.
+        .groupBy(F.window("bucket_start", length, hop).alias("_win"), *keys, "_v")
+        .agg(
+            F.sum("_c").alias("_c"),
+            F.sum("_e4").alias("_e4"),
+            F.sum("_e5").alias("_e5"),
+            F.min("_xmin").alias("_xmin"),
+            F.max("_xmax").alias("_xmax"),
+            F.sum("_xsum").alias("_xsum"),
+        )
+        .select(F.col("_win.start").alias("bucket_start"), *keys, "_v", "_c", "_e4", "_e5", "_xmin", "_xmax", "_xsum")
+    )
+    out = _finalize_from_hist_rows(
+        h, max_bins=sketches.HIST_MAX_BINS, extra_keys=keys
+    )
+    return out.select(
+        "bucket_start",
+        *keys,
+        *[f.name for f in HIST_ROLLUP_FIELDS if f.name != "bucket_start"],
+    )
+
+
 def hist_cascade(
     rollup_df: DataFrame, to_tier: str, extra_keys: list[str] | None = None
 ) -> DataFrame:

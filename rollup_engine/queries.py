@@ -621,6 +621,51 @@ def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_day_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count cascade (round-5): day-level active
+    conversations computed from the MINUTE-tier distinct-pair state —
+    distinct is not count-summable, so the mergeable state is the
+    deduped (bucket, key) relation; the day tier re-groups pairs and
+    never re-reads raw data (see distinct.distinct_pairs/
+    distinct_rollup; the HLL sketch twin is pytest-pinned within its
+    error bound)."""
+    from .distinct import distinct_pairs, distinct_rollup
+
+    t = from_events(spark, sf_dir)
+    pairs = distinct_pairs(t, "minute", key_col="conv_id")
+    return distinct_rollup(pairs, "day")
+
+
+def q_xcorr_load_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation (round-5): does per-minute load
+    (turn_count) predict latency (lat_avg_ms) k minutes later, for
+    k ∈ [0, 10]?  One window computes all 11 leads in one sort,
+    decimal(38,0) exact moments, one fixed IEEE division — over the
+    aggregated minute tier, never raw data (see tsops.xcorr)."""
+    from .tsops import xcorr
+
+    m = rollup(_deltas(spark, sf_dir), "minute").select(
+        "bucket_start", "turn_count", "lat_avg_ms"
+    )
+    return xcorr(m, "turn_count", "lat_avg_ms", max_lag=10)
+
+
+def q_sliding_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window percentiles from tier-state merge (round-5):
+    p50/p90/p99 (plus the exact scalars) for every 5-minute window
+    hopping by 1 minute, assembled by merging the MINUTE tier's
+    histogram state — the "p99 over the last 5 min, refreshed every
+    minute" dashboard read that never touches raw data; verified
+    against a direct raw-data hopping-window oracle (see
+    hist_rollup.hist_sliding)."""
+    from .hist_rollup import hist_rollup, hist_sliding
+
+    minute = hist_rollup(_deltas(spark, sf_dir), "minute")
+    return hist_sliding(minute, length="5 minutes", hop="1 minute").select(
+        *_STD_COLS[1:]
+    )
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase per user (round-5): the
     product-analytics primitive as ONE shuffle + chained per-key window
@@ -685,6 +730,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_quantile": q_histogram_quantile,
     "seasonal_baseline": q_seasonal_baseline,
     "sliding_rollup": q_sliding_rollup,
+    "sliding_quantile": q_sliding_quantile,
+    "xcorr_load_latency": q_xcorr_load_latency,
+    "distinct_day_cascade": q_distinct_day_cascade,
     "funnel_steps": q_funnel_steps,
     "threshold_alerts": q_threshold_alerts,
     "uptime_islands": q_uptime_islands,
@@ -777,6 +825,9 @@ _DRIVER_OVERFLOW = [
     "histogram_quantile",
     "seasonal_baseline",
     "sliding_rollup",
+    "sliding_quantile",
+    "xcorr_load_latency",
+    "distinct_day_cascade",
     "funnel_steps",
     "threshold_alerts",
     "uptime_islands",
@@ -1378,6 +1429,61 @@ SELECT bucket_start,
        MIN(delta_ms) AS lat_min_ms,
        MAX(delta_ms) AS lat_max_ms,
        CAST(FLOOR(AVG(delta_ms)) AS BIGINT) AS lat_avg_ms
+FROM o GROUP BY 1"""
+
+# Distinct cascade: the oracle counts distinct keys per day DIRECTLY
+# from raw rows; the engine must reproduce it from the minute-level
+# deduped pair relation (merge ≡ recompute, the cascade proof pattern).
+ORACLES["distinct_day_cascade"] = f"""{_TRANSCRIPTS_CTE}
+SELECT date_trunc('day', ts) AS bucket_start,
+       COUNT(DISTINCT conv_id) AS distinct_keys
+FROM t GROUP BY 1"""
+
+# Lagged cross-correlation: positional leads via a rn self-join (an
+# independent formulation of the engine's one-window lead array);
+# DuckDB's int128 SUM mirrors the engine's decimal(38,0) exact moments,
+# and both engines derive r through the identical IEEE sequence.
+ORACLES["xcorr_load_latency"] = f"""{_DELTAS_CTE},
+m AS (
+    SELECT date_trunc('minute', ts) AS bucket_start,
+           COUNT(delta_ms) AS x,
+           CAST(FLOOR(AVG(delta_ms)) AS BIGINT) AS y
+    FROM d WHERE delta_ms IS NOT NULL GROUP BY 1),
+i AS (SELECT *, ROW_NUMBER() OVER (ORDER BY bucket_start) AS rn FROM m),
+p AS (
+    SELECT k.k AS lag, a.x AS x, b.y AS y
+    FROM i a
+    CROSS JOIN (SELECT UNNEST(range(11)) AS k) AS k
+    JOIN i b ON b.rn = a.rn + k.k),
+g AS (
+    SELECT lag, COUNT(*) AS n,
+           SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+           SUM(x*x) AS sxx, SUM(y*y) AS syy
+    FROM p GROUP BY 1)
+SELECT CAST(lag AS BIGINT) AS lag,
+       CASE WHEN n >= 2 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+            THEN CAST(n*sxy - sx*sy AS DOUBLE)
+                 / SQRT(CAST(n*sxx - sx*sx AS DOUBLE)
+                        * CAST(n*syy - sy*sy AS DOUBLE))
+       END AS corr,
+       CAST(n AS BIGINT) AS n
+FROM g"""
+
+# Hopping-window full-metric oracle: replicate each raw row into its 5
+# containing windows (window starts = floor_minute(ts) − k minutes,
+# Spark's epoch-aligned F.window convention), then the standard metric
+# set per window — the engine must reproduce this from minute-tier
+# histogram merges without touching raw rows.
+ORACLES["sliding_quantile"] = f"""{_DELTAS_CTE},
+o AS (
+    SELECT make_timestamp(
+               epoch_us(date_trunc('minute', ts)) - 60000000 * k.k
+           ) AS bucket_start,
+           delta_ms, tool
+    FROM d CROSS JOIN (SELECT UNNEST(range(5)) AS k) AS k
+    WHERE delta_ms IS NOT NULL)
+SELECT bucket_start,
+       {_METRICS_SQL}
 FROM o GROUP BY 1"""
 
 # Ordered funnel via the chained-self-join definition (the engine uses

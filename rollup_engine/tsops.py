@@ -942,3 +942,79 @@ def uptime_islands(
         .drop("_g")
         .select(*by, "island_start", "island_end", "n_buckets", count_col)
     )
+
+
+def xcorr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_lag: int = 10,
+    by: Sequence[str] = (),
+    ts_col: str = "bucket_start",
+) -> DataFrame:
+    """Lagged cross-correlation (the CCF): for each lag k in
+    [0, max_lag], the Pearson correlation between x(t) and y(t+k) over
+    the series ordered by ``ts_col`` — "does load at minute t predict
+    latency k minutes later?".  Lags are POSITIONAL over the supplied
+    series rows (the standard estimator on a resampled/dense series);
+    feed a tier or gap-filled spine, not raw events.
+
+    Shape: ONE keyed window computes all max_lag+1 leads in a single
+    sort (the per-row state is an array of (lag, y) structs), explode →
+    one hash aggregate on (keys, lag).  For the unkeyed global form the
+    window is single-partition but runs over an ALREADY-AGGREGATED,
+    calendar-bounded tier (the gap-fill precedent), never raw data;
+    keyed series partition by their keys.
+
+    Exactness: the five moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate
+    as decimal(38,0) — exact integer arithmetic with ~1e38 headroom, so
+    no overflow at any realistic series length (DuckDB mirrors with
+    int128) — and r derives through ONE fixed IEEE sequence:
+    (n·Σxy−Σx·Σy)→double ÷ sqrt((n·Σx²−(Σx)²)→double · (n·Σy²−(Σy)²)→double),
+    bit-reproducible cross-engine (decimal→double and int128→double are
+    both correctly-rounded casts).  NULL when n < 2 or either variance
+    is zero.  Per-row products must fit int64: |x|,|y| ≤ ~3e9.
+    """
+    keys = list(by)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    xl = F.col(x_col).cast("long")
+    yl = F.col(y_col).cast("long")
+    leads = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("lag"),
+                F.lead(yl, k).over(w).alias("y"),
+            )
+            for k in range(max_lag + 1)
+        ]
+    )
+    dec = "decimal(38,0)"
+    e = (
+        df.select(*keys, xl.alias("_x"), leads.alias("_ps"))
+        .select(*keys, "_x", F.explode("_ps").alias("_p"))
+        .select(
+            *keys,
+            F.col("_p.lag").alias("lag"),
+            "_x",
+            F.col("_p.y").alias("_y"),
+        )
+        .where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    )
+    x, y = F.col("_x"), F.col("_y")
+    g = e.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x.cast(dec)).alias("_sx"),
+        F.sum(y.cast(dec)).alias("_sy"),
+        F.sum((x * y).cast(dec)).alias("_sxy"),
+        F.sum((x * x).cast(dec)).alias("_sxx"),
+        F.sum((y * y).cast(dec)).alias("_syy"),
+    )
+    n = F.col("_n").cast(dec)
+    num = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    denx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    deny = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    r = F.when(
+        (F.col("_n") >= 2) & (denx > 0) & (deny > 0),
+        num / F.sqrt(denx.cast("double") * deny.cast("double")),
+    )
+    return g.select(*keys, "lag", r.alias("corr"), F.col("_n").alias("n"))

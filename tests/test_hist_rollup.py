@@ -259,3 +259,45 @@ def test_dd_quantizer_properties(spark):
             assert r == v, f"small int not exact: {v} -> {r}"
         assert abs(r - v) <= max(1, a * abs(v)), f"error bound: {v} -> {r}"
         assert abs(rr - r) <= max(1, a * abs(r)), f"not stable: {r} -> {rr}"
+
+
+def test_hist_sliding_matches_direct(spark):
+    """Hopping-window merge of the minute tier equals a direct rollup
+    of the raw rows replicated into their 5 containing windows (the
+    epoch-aligned F.window convention: starts = floor_minute(ts) − k)."""
+    from pyspark.sql import functions as F
+
+    from rollup_engine.hist_rollup import hist_sliding
+
+    d = _deltas(spark)
+    minute = hist_rollup(d, "minute")
+    slid = hist_sliding(minute, length="5 minutes", hop="1 minute")
+
+    shifted = F.timestamp_micros(
+        F.unix_micros(F.date_trunc("minute", F.col("ts").cast("timestamp")))
+        - F.col("_k") * F.lit(60_000_000)
+    )
+    rep = (
+        d.withColumn("_k", F.explode(F.array(*[F.lit(i) for i in range(5)])))
+        .withColumn("ts", shifted)
+    )
+    direct = hist_rollup(rep, "minute")
+    a = _pdf(slid)
+    b = _pdf(direct)
+    a.index = pd.to_datetime(a.index)
+    b.index = pd.to_datetime(b.index)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_hist_sliding_degenerate_is_tumbling(spark):
+    """length == hop == tier width degenerates to the tier itself."""
+    from rollup_engine.hist_rollup import hist_sliding
+
+    d = _deltas(spark)
+    minute = hist_rollup(d, "minute")
+    slid = hist_sliding(minute, length="1 minute", hop="1 minute")
+    a = _pdf(slid)
+    b = _pdf(minute)
+    a.index = pd.to_datetime(a.index)
+    b.index = pd.to_datetime(b.index)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

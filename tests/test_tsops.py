@@ -1007,3 +1007,88 @@ def test_uptime_islands_keyed(spark):
         key=lambda r: (r.role, r.island_start),
     )
     assert [(r.role, r.n_buckets) for r in out] == [("x", 2), ("y", 1)]
+
+
+def test_xcorr_perfect_lag(spark):
+    """y is x shifted 2 positions later → corr at lag 2 is exactly 1;
+    other lags match a numpy reference computed on the same pairs."""
+    import math
+
+    import numpy as np
+
+    from rollup_engine.tsops import xcorr
+
+    x = [1, 3, 2, 5, 4, 6, 2, 8, 7, 9]
+    y = [0, 0] + x[:-2]  # y(t) = x(t-2)  ⇒  y(t+2) = x(t)
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, i), xi, yi)
+        for i, (xi, yi) in enumerate(zip(x, y))
+    ]
+    df = spark.createDataFrame(
+        rows, "bucket_start timestamp, xv long, yv long"
+    )
+    out = {
+        r.lag: (r.corr, r.n)
+        for r in xcorr(df, "xv", "yv", max_lag=3).collect()
+    }
+    assert out[2][0] == 1.0 and out[2][1] == 8
+    for k in range(4):
+        xs = np.array(x[: len(x) - k], dtype=float)
+        ys = np.array(y[k:], dtype=float)
+        ref = float(np.corrcoef(xs, ys)[0, 1])
+        got = out[k][0]
+        assert out[k][1] == len(xs)
+        assert math.isclose(got, ref, rel_tol=1e-12), (k, got, ref)
+
+
+def test_xcorr_keyed_and_degenerate(spark):
+    """Keys keep series separate; a zero-variance series yields NULL."""
+    from rollup_engine.tsops import xcorr
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, i), i, 2 * i) for i in range(5)
+    ] + [
+        ("b", dt.datetime(2024, 1, 1, 0, i), 7, i) for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, bucket_start timestamp, xv long, yv long"
+    )
+    out = {
+        (r.k, r.lag): r.corr
+        for r in xcorr(df, "xv", "yv", max_lag=1, by=["k"]).collect()
+    }
+    assert out[("a", 0)] == 1.0  # y = 2x exactly
+    assert out[("b", 0)] is None  # x constant → zero variance → NULL
+
+
+def test_threshold_alerts_random_reference(spark):
+    """Seeded random walks vs a pure-Python hysteresis state machine —
+    edge positions, states, and directions must match exactly."""
+    import random
+
+    from rollup_engine.tsops import threshold_alerts
+
+    rng = random.Random(42)
+    rows = []
+    expect = []
+    for key in ("k0", "k1", "k2", "k3"):
+        state = 0
+        for i in range(200):
+            v = rng.randint(0, 130) if rng.random() > 0.05 else None
+            rows.append((key, i, v))
+            if v is None:
+                continue
+            new = 1 if v >= 100 else (0 if v < 50 else state)
+            if new != state:
+                expect.append(
+                    (key, i, new, "rising" if new else "clearing")
+                )
+            state = new
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, delta_ms long"
+    )
+    out = threshold_alerts(
+        df, "delta_ms", enter=100, exit=50, by=["conv_id"], order_col="turn_idx"
+    ).collect()
+    got = sorted((r.conv_id, r.turn_idx, r.state, r.direction) for r in out)
+    assert got == sorted(expect)
