@@ -621,6 +621,21 @@ def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling robust smoother (round-5): nearest-rank median of each
+    conversation's trailing 20 inter-turn latencies — one keyed window
+    whose state is the bounded frame array, pure JVM array expressions
+    (see tsops.rolling_quantile; the MAD companion is pytest-pinned —
+    DuckDB's mad() interpolates where ours is discrete)."""
+    from .tsops import rolling_quantile
+
+    d = _deltas(spark, sf_dir).select("conv_id", "turn_idx", "delta_ms")
+    return rolling_quantile(
+        d, "delta_ms", q=0.5, window_rows=20, by=["conv_id"],
+        order_col="turn_idx", out_col="roll_med",
+    )
+
+
 def q_distinct_day_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count cascade (round-5): day-level active
     conversations computed from the MINUTE-tier distinct-pair state —
@@ -733,6 +748,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_quantile": q_sliding_quantile,
     "xcorr_load_latency": q_xcorr_load_latency,
     "distinct_day_cascade": q_distinct_day_cascade,
+    "rolling_median": q_rolling_median,
     "funnel_steps": q_funnel_steps,
     "threshold_alerts": q_threshold_alerts,
     "uptime_islands": q_uptime_islands,
@@ -828,6 +844,7 @@ _DRIVER_OVERFLOW = [
     "sliding_quantile",
     "xcorr_load_latency",
     "distinct_day_cascade",
+    "rolling_median",
     "funnel_steps",
     "threshold_alerts",
     "uptime_islands",
@@ -1430,6 +1447,18 @@ SELECT bucket_start,
        MAX(delta_ms) AS lat_max_ms,
        CAST(FLOOR(AVG(delta_ms)) AS BIGINT) AS lat_avg_ms
 FROM o GROUP BY 1"""
+
+# Rolling median: DuckDB quantile_disc over the identical ROWS frame —
+# same nearest-rank definition (element at ceil(q·n) of the sorted
+# frame, NULLs skipped), independent mechanism (frame re-scan vs the
+# engine's sorted-array state).
+ORACLES["rolling_median"] = f"""{_DELTAS_CTE}
+SELECT conv_id, turn_idx, delta_ms,
+       CAST(quantile_disc(delta_ms, 0.5) OVER (
+            PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS roll_med
+FROM d WHERE delta_ms IS NOT NULL"""
 
 # Distinct cascade: the oracle counts distinct keys per day DIRECTLY
 # from raw rows; the engine must reproduce it from the minute-level

@@ -1018,3 +1018,60 @@ def xcorr(
         num / F.sqrt(denx.cast("double") * deny.cast("double")),
     )
     return g.select(*keys, "lag", r.alias("corr"), F.col("_n").alias("n"))
+
+
+def rolling_quantile(
+    df: DataFrame,
+    value_col: str,
+    q: float = 0.5,
+    window_rows: int = 60,
+    by: Sequence[str] = ("conv_id",),
+    order_col: str = "turn_idx",
+    out_col: str = "roll_q",
+    with_mad: bool = False,
+) -> DataFrame:
+    """Trailing-window order statistic per key: the nearest-rank
+    q-quantile of the last ``window_rows`` observations INCLUDING the
+    current row (the rolling-median smoother; robust where the rolling
+    mean is outlier-dragged).  With ``with_mad=True`` also emits
+    ``roll_mad`` — the median absolute deviation |x − median| of the
+    same window, the robust spread estimate behind MAD-based anomaly
+    scores (median ± k·MAD).
+
+    Nearest-rank: element at position ceil(q·n) of the sorted window
+    (the A4 percentile definition; == DuckDB ``quantile_disc`` over the
+    same frame).  NULL values inside the frame are skipped (frame
+    offsets stay positional); NULL until the window has one
+    observation.
+
+    Shape: ONE keyed window whose per-row state is the frame's value
+    array (``collect_list`` over a ROWS frame — bounded at
+    ``window_rows`` elements), then pure array expressions:
+    ``array_sort`` + ``element_at`` for the quantile, ``transform`` →
+    ``array_sort`` → ``element_at`` for the MAD.  All JVM, exact
+    integer comparisons, no UDF; cost O(k log k) per row with k bounded
+    by construction — at 100 TB this is a map-side pass after the one
+    key exchange, and the state never exceeds window_rows longs.
+    """
+    if not (0 < q <= 1):
+        raise ValueError("q must be in (0, 1]")
+    w = (
+        Window.partitionBy(*list(by))
+        .orderBy(order_col)
+        .rowsBetween(-(int(window_rows) - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list(F.col(value_col)).over(w))
+    out = df.withColumn("_arr", arr)
+    n = F.size(F.col("_arr"))
+    idx = F.greatest(F.lit(1), F.ceil(F.lit(float(q)) * n)).cast("int")
+    med = F.when(n > 0, F.element_at(F.col("_arr"), idx))
+    out = out.withColumn(out_col, med)
+    if with_mad:
+        dev = F.array_sort(
+            F.transform(F.col("_arr"), lambda v: F.abs(v - F.col(out_col)))
+        )
+        midx = F.greatest(F.lit(1), F.ceil(F.lit(0.5) * n)).cast("int")
+        out = out.withColumn(
+            "roll_mad", F.when(n > 0, F.element_at(dev, midx))
+        )
+    return out.drop("_arr")

@@ -1092,3 +1092,78 @@ def test_threshold_alerts_random_reference(spark):
     ).collect()
     got = sorted((r.conv_id, r.turn_idx, r.state, r.direction) for r in out)
     assert got == sorted(expect)
+
+
+def test_rolling_quantile_random_reference(spark):
+    """Seeded random series (with NULLs) vs a pure-Python nearest-rank
+    reference for the rolling median AND the rolling MAD."""
+    import math
+    import random
+
+    from rollup_engine.tsops import rolling_quantile
+
+    rng = random.Random(7)
+    rows = []
+    for key in ("a", "b"):
+        for i in range(120):
+            v = rng.randint(0, 10_000) if rng.random() > 0.1 else None
+            rows.append((key, i, v))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, delta_ms long"
+    )
+    K = 7
+
+    def ref(vals, q):
+        vals = sorted(v for v in vals if v is not None)
+        if not vals:
+            return None
+        return vals[max(1, math.ceil(q * len(vals))) - 1]
+
+    out = rolling_quantile(
+        df, "delta_ms", q=0.5, window_rows=K, by=["conv_id"],
+        order_col="turn_idx", out_col="roll_med", with_mad=True,
+    ).collect()
+    got = {(r.conv_id, r.turn_idx): (r.roll_med, r.roll_mad) for r in out}
+    series = {}
+    for key, i, v in rows:
+        series.setdefault(key, []).append(v)
+    for key, vals in series.items():
+        for i in range(len(vals)):
+            frame = vals[max(0, i - K + 1) : i + 1]
+            med = ref(frame, 0.5)
+            mad = (
+                None
+                if med is None
+                else ref([abs(v - med) for v in frame if v is not None], 0.5)
+            )
+            assert got[(key, i)] == (med, mad), (key, i)
+
+
+def test_rolling_quantile_p90_and_single_exchange(spark):
+    """q=0.9 picks the ceil(0.9·n)-th sorted element; the whole op is
+    one keyed exchange (window only, no join/extra shuffle)."""
+    import re
+
+    from rollup_engine.tsops import rolling_quantile
+
+    rows = [("a", i, v) for i, v in enumerate([5, 1, 9, 3, 7])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, delta_ms long"
+    )
+    out = rolling_quantile(
+        df, "delta_ms", q=0.9, window_rows=5, by=["conv_id"],
+        order_col="turn_idx", out_col="p90",
+    )
+    vals = {r.turn_idx: r.p90 for r in out.collect()}
+    # frames: [5],[5,1],[5,1,9],[5,1,9,3],[5,1,9,3,7] → ceil(.9n)=1,2,3,4,5
+    assert vals == {0: 5, 1: 5, 2: 9, 3: 9, 4: 9}
+    # fresh plan (the collected one carries AQE's final+initial dump,
+    # which lists the same exchange twice)
+    fresh = rolling_quantile(
+        df, "delta_ms", q=0.9, window_rows=5, by=["conv_id"],
+        order_col="turn_idx", out_col="p90",
+    )
+    plan = fresh._sc._jvm.PythonSQLUtils.explainString(
+        fresh._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
