@@ -784,11 +784,13 @@ from .queries_pipeline import (  # noqa: E402
     q_incremental_minute,
     q_stream_minute,
     q_stream_sessionize,
+    q_stream_sliding,
 )
 
 QUERIES.update(DATA_QUERIES)
 QUERIES["stream_minute"] = q_stream_minute
 QUERIES["stream_sessionize"] = q_stream_sessionize
+QUERIES["stream_sliding"] = q_stream_sliding
 QUERIES["incremental_minute"] = q_incremental_minute
 
 # Driver-budget ordering (round-5).  CORRECTNESS_r04 recorded exactly
@@ -845,6 +847,7 @@ _DRIVER_OVERFLOW = [
     "xcorr_load_latency",
     "distinct_day_cascade",
     "rolling_median",
+    "stream_sliding",
     "funnel_steps",
     "threshold_alerts",
     "uptime_islands",
@@ -1514,6 +1517,11 @@ o AS (
 SELECT bucket_start,
        {_METRICS_SQL}
 FROM o GROUP BY 1"""
+
+# Streaming hopping-window twin: same result as the batch sliding
+# rollup (engine-twin oracle-reuse rule) — the F.window(length, hop)
+# plan is stream-portable verbatim, only the watermark line differs.
+ORACLES["stream_sliding"] = ORACLES["sliding_rollup"]
 
 # Ordered funnel via the chained-self-join definition (the engine uses
 # chained window minima — same semantics, one shuffle): step k's

@@ -178,3 +178,49 @@ def q_incremental_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "err4xx_rate",
         "err5xx_rate",
     )
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming HOPPING-window rollup == the batch
+    ``sliding_rollup`` gate (oracle reused verbatim): proves the
+    stream-portability claim on the sliding path with the same
+    two-microbatch watermark choreography as ``q_stream_minute`` —
+    all real turns in batch 1, a far-future sentinel conversation in
+    batch 2 flushes every real window (every one of a real turn's 5
+    windows starts at or before its event time, hence ≤ max_ts; every
+    sentinel window starts 30 days later and is filtered out)."""
+    from .streaming import run_sliding_stream_once
+
+    work = _workdir("streamslide", sf_dir)
+    t = from_events(spark, sf_dir)
+    max_ts = t.agg(F.max("ts")).first()[0]
+    input_dir = os.path.join(work, "input")
+    t.repartition(4, "conv_id").write.mode("overwrite").parquet(input_dir)
+    real_parts = set(os.listdir(input_dir))
+
+    sentinel_ts = F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")
+    sentinel = spark.range(2).select(
+        F.lit(_SENTINEL_CONV).alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("").alias("text"),
+        F.lit("").alias("tool"),
+        (sentinel_ts + F.col("id") * F.expr("INTERVAL 1 SECOND")).alias("ts"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(input_dir)
+    now = time.time()
+    for f in set(os.listdir(input_dir)) - real_parts:
+        os.utime(os.path.join(input_dir, f), (now + 60, now + 60))
+
+    n_real = len([f for f in real_parts if f.startswith("part-")])
+    run_sliding_stream_once(
+        spark,
+        input_dir,
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "out"),
+        length="5 minutes",
+        hop="1 minute",
+        max_files=n_real,
+    )
+    out = spark.read.parquet(os.path.join(work, "out"))
+    return out.where(F.col("bucket_start") <= F.lit(max_ts))

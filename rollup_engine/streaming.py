@@ -264,3 +264,60 @@ def run_stream_once(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_sliding_rollup(
+    deltas: DataFrame,
+    length: str = "5 minutes",
+    hop: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked HOPPING-window aggregate over the delta stream — the
+    streaming twin of ``tsops.sliding_rollup``, sharing the same
+    ``F.window(ts, length, hop)`` operator (the batch query really is
+    stream-portable verbatim: only the watermark line differs).  Each
+    delta lands in length/hop overlapping windows; append mode emits a
+    window once the watermark passes its end."""
+    d = F.col("delta_ms")
+    return (
+        deltas.withWatermark("ts", watermark)
+        .where(d.isNotNull())
+        .groupBy(F.window(F.col("ts"), length, hop).alias("_w"))
+        .agg(
+            F.count(d).alias("turn_count"),
+            F.min(d).alias("lat_min_ms"),
+            F.max(d).alias("lat_max_ms"),
+            F.floor(F.sum(d) / F.count(d)).cast("long").alias("lat_avg_ms"),
+        )
+        .select(
+            F.col("_w.start").alias("bucket_start"),
+            "turn_count",
+            "lat_min_ms",
+            "lat_max_ms",
+            "lat_avg_ms",
+        )
+    )
+
+
+def run_sliding_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    length: str = "5 minutes",
+    hop: str = "1 minute",
+    max_files: int = 64,
+) -> None:
+    """One availableNow pass of the hopping-window stream (same file
+    choreography as ``run_stream_once``)."""
+    turns = read_turn_stream(spark, input_dir, max_files=max_files)
+    rollup = stream_sliding_rollup(stream_deltas(turns), length, hop)
+    q = (
+        rollup.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
