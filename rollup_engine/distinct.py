@@ -117,3 +117,30 @@ def hll_estimate(tier_df: DataFrame) -> DataFrame:
         "bucket_start",
         F.hll_sketch_estimate(F.col("key_hll")).alias("distinct_keys_est"),
     )
+
+
+def sliding_distinct(
+    pairs: DataFrame,
+    length: str = "5 minutes",
+    hop: str = "1 minute",
+    key_col: str = "conv_id",
+) -> DataFrame:
+    """Distinct keys per HOPPING window from the finest-tier pair
+    state: each deduped (bucket, key) row expands into its length/hop
+    windows (native ``F.window`` Expand — stream-portable), then an
+    exact ``count_distinct`` per window.  The "active conversations
+    over the last 5 minutes, refreshed every minute" view, reading
+    (#buckets × #active keys) state rows instead of raw turns.  Note
+    a key active in several buckets of one window is counted once —
+    the re-dedup across buckets is exactly what plain count-summing
+    cannot do and the pair state can.
+    """
+    return (
+        pairs.groupBy(
+            F.window(F.col("bucket_start"), length, hop).alias("_w")
+        )
+        .agg(F.count_distinct(F.col(key_col)).alias("distinct_keys"))
+        .select(
+            F.col("_w.start").alias("bucket_start"), "distinct_keys"
+        )
+    )

@@ -621,6 +621,20 @@ def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window exact distinct counts (round-5): active
+    conversations over every 5-minute window hopping by 1 minute,
+    computed from the minute-level deduped PAIR state (re-deduped
+    across the window's buckets — the thing count-summing can't do);
+    oracle replicates raw rows into their windows and counts distinct
+    directly (see distinct.sliding_distinct)."""
+    from .distinct import distinct_pairs, sliding_distinct
+
+    t = from_events(spark, sf_dir)
+    pairs = distinct_pairs(t, "minute", key_col="conv_id")
+    return sliding_distinct(pairs, length="5 minutes", hop="1 minute")
+
+
 def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling robust smoother (round-5): nearest-rank median of each
     conversation's trailing 20 inter-turn latencies — one keyed window
@@ -748,6 +762,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_quantile": q_sliding_quantile,
     "xcorr_load_latency": q_xcorr_load_latency,
     "distinct_day_cascade": q_distinct_day_cascade,
+    "sliding_distinct": q_sliding_distinct,
     "rolling_median": q_rolling_median,
     "funnel_steps": q_funnel_steps,
     "threshold_alerts": q_threshold_alerts,
@@ -846,6 +861,7 @@ _DRIVER_OVERFLOW = [
     "sliding_quantile",
     "xcorr_load_latency",
     "distinct_day_cascade",
+    "sliding_distinct",
     "rolling_median",
     "stream_sliding",
     "funnel_steps",
@@ -1462,6 +1478,20 @@ SELECT conv_id, turn_idx, delta_ms,
             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT)
            AS roll_med
 FROM d WHERE delta_ms IS NOT NULL"""
+
+# Hopping-window distinct: the oracle replicates RAW rows into their 5
+# containing windows and counts distinct directly; the engine reads the
+# minute-level deduped pair state instead.
+ORACLES["sliding_distinct"] = f"""{_TRANSCRIPTS_CTE},
+o AS (
+    SELECT make_timestamp(
+               epoch_us(date_trunc('minute', ts)) - 60000000 * k.k
+           ) AS bucket_start,
+           conv_id
+    FROM t CROSS JOIN (SELECT UNNEST(range(5)) AS k) AS k)
+SELECT bucket_start,
+       COUNT(DISTINCT conv_id) AS distinct_keys
+FROM o GROUP BY 1"""
 
 # Distinct cascade: the oracle counts distinct keys per day DIRECTLY
 # from raw rows; the engine must reproduce it from the minute-level

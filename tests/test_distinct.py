@@ -84,3 +84,38 @@ def test_hll_state_is_bounded(spark):
         F.octet_length("key_hll").alias("sz")
     ).collect()
     assert len(sk) == 1 and sk[0].sz <= 8 * (2**DEFAULT_LG_K)
+
+
+def test_sliding_distinct_matches_direct(spark):
+    """Hopping distinct from pair state == distinct over raw rows
+    replicated into their windows (a key spanning several buckets of a
+    window counts once)."""
+    from rollup_engine.distinct import sliding_distinct
+
+    t = from_events(spark, SF)
+    pairs = distinct_pairs(t, "minute")
+    got = {
+        r.bucket_start: r.distinct_keys
+        for r in sliding_distinct(pairs, "5 minutes", "1 minute").collect()
+    }
+    rep = (
+        t.withColumn("_k", F.explode(F.array(*[F.lit(i) for i in range(5)])))
+        .select(
+            (
+                F.timestamp_micros(
+                    F.unix_micros(
+                        F.date_trunc("minute", F.col("ts").cast("timestamp"))
+                    )
+                    - F.col("_k") * F.lit(60_000_000)
+                )
+            ).alias("bucket_start"),
+            "conv_id",
+        )
+        .groupBy("bucket_start")
+        .agg(F.countDistinct("conv_id").alias("n"))
+    )
+    want = {r.bucket_start: r.n for r in rep.collect()}
+    # engine buckets are NTZ, reference casts through TIMESTAMP — align
+    got = {str(k): v for k, v in got.items()}
+    want = {str(k): v for k, v in want.items()}
+    assert got == want
