@@ -656,6 +656,9 @@ def append_cached_sections() -> None:
     if os.path.exists(_BUCKETED_CACHE):
         with open(_BUCKETED_CACHE) as f:
             out += _bucketed_lines(json.load(f))
+    if os.path.exists(_TIERMERGE_CACHE):
+        with open(_TIERMERGE_CACHE) as f:
+            out += _tier_lines(json.load(f))
     if out:
         with open(path, "a") as f:
             f.write("\n".join(out) + "\n")
@@ -915,6 +918,147 @@ def _multiproc_lines(m: dict) -> list[str]:
     ]
 
 
+_TIERMERGE_CACHE = os.path.join(REPO, "BENCH", "tier_merge_scaling.json")
+
+
+def ensure_minute_tier(turns: int | None = None) -> str:
+    """Write the minute hist tier of the bench table once — the input
+    for the tier-merge scaling leg (the leg must read TIER state, not
+    raw turns: its whole point is measuring the read-path that 100 TB
+    dashboards actually hit)."""
+    n = turns or BENCH_TURNS
+    path = os.path.join(REPO, ".benchdata", f"minute_tier_{n}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from rollup_engine.deltas import with_deltas
+    from rollup_engine.hist_rollup import hist_rollup, narrow_for_rollup
+    from rollup_engine.session import get_spark
+    from rollup_engine.transcripts import clean
+
+    spark = get_spark("tier-gen")
+    raw = narrow_for_rollup(spark.read.parquet(ensure_bench_table(n)))
+    hist_rollup(with_deltas(clean(raw)), "minute").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def run_tier_child(tier_path: str, cpus: int) -> None:
+    """Child JVM for the tier-merge leg: hopping-window percentile
+    assembly (60-minute windows advancing by 1 minute — the Grafana
+    default view) from persisted minute-tier histogram state via
+    hist_sliding.  Warm-up + min-of-3, same protocol as the raw-pass
+    child."""
+    from rollup_engine.hist_rollup import hist_sliding
+    from rollup_engine.session import get_spark
+
+    extra = json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}"))
+    shuffle_parts = (
+        int(extra.pop("spark.sql.shuffle.partitions"))
+        if "spark.sql.shuffle.partitions" in extra
+        else None
+    )
+    spark = get_spark(
+        f"tier-scale-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=shuffle_parts,
+        extra_conf=extra,
+    )
+    tier = spark.read.parquet(tier_path)
+
+    def job():
+        hist_sliding(tier, "60 minutes", "1 minute").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    job()
+    times = sorted(_timed(job) for _ in range(3))
+    print(json.dumps({"cpus": cpus, "sec": times[0], "all": times}))
+
+
+def run_tier_scaling(levels=(1, 4), turns: int | None = None) -> dict:
+    """Two-parallelism scaling evidence for the TIER-MERGE path (the
+    newest operator class: sliding/cascade reads of persisted histogram
+    state).  Same paired-capacity-probe protocol as the raw-pass legs;
+    8 fixed shuffle partitions on both legs (the measured small-core
+    optimum from BENCH/scaling14_matrix.json)."""
+    tier = ensure_minute_tier(turns)
+    env = dict(os.environ)
+    shm = "/dev/shm/spark-local-bench"
+    os.makedirs(shm, exist_ok=True)
+    env["SPARK_LOCAL_DIRS"] = shm
+    env["SPARK_GRAFT_EXTRA_CONF"] = json.dumps(
+        {"spark.sql.shuffle.partitions": "8"}
+    )
+    results = {}
+    for cpus in levels:
+        hw = _hw_rate(cpus)
+        out = subprocess.run(
+            [sys.executable, __file__, "--tier-child", str(cpus), tier],
+            capture_output=True, text=True, check=True, env=env,
+        )
+        child = json.loads(
+            [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        )
+        results[cpus] = {
+            "sec": round(child["sec"], 3),
+            "all": [round(x, 3) for x in child["all"]],
+            "hw_chunks_per_sec": round(hw, 2),
+        }
+    lo, hi = levels
+    raw = (results[lo]["sec"] / results[hi]["sec"]) / (hi / lo)
+    hw_eff = (
+        results[hi]["hw_chunks_per_sec"] / results[lo]["hw_chunks_per_sec"]
+    ) / (hi / lo)
+    m = {
+        "turns": turns or BENCH_TURNS,
+        "tier_path": tier,
+        "window": "60 minutes / 1 minute hop",
+        "levels": list(levels),
+        "per_level": {str(k): v for k, v in results.items()},
+        "efficiency": round(raw, 3),
+        "hw_efficiency": round(hw_eff, 3),
+        "efficiency_normalized": round(raw / hw_eff if hw_eff > 0 else raw, 3),
+    }
+    _write_cache(_TIERMERGE_CACHE, m)
+    return m
+
+
+def _tier_lines(m: dict) -> list[str]:
+    lines = [
+        "",
+        "## Tier-merge scaling — hopping-window percentiles from tier state",
+        "",
+        f"hist_sliding ({m['window']}: the Grafana default 'hourly "
+        "stats refreshed every minute') assembling full metric rows "
+        "incl. p50/p90/p99 by MERGING the persisted minute-tier "
+        f"histogram state of the {m['turns']:,}-turn bench table — the "
+        "read path a 100 TB dashboard hits (cost = length/hop x tier "
+        "state, independent of raw volume).  Same paired-probe "
+        "protocol and 8-fixed-shuffle-partition config as the (1,4) "
+        "raw-pass pair.  Measured by `bench.py --tier-scaling`; cached "
+        "in BENCH/tier_merge_scaling.json.",
+        "",
+        "| cores | sec (min of 3) | all reps | same-window hw (chunks/s) |",
+        "|---|---|---|---|",
+    ]
+    for k, v in m["per_level"].items():
+        lines.append(
+            f"| local[{k}] | {v['sec']} | {v['all']} |"
+            f" {v['hw_chunks_per_sec']} |"
+        )
+    lo, hi = m["levels"]
+    lines += [
+        "",
+        f"**Scaling efficiency = (T{lo}/T{hi}) / {hi // lo} = "
+        f"{m['efficiency']}** (probe window {m['hw_efficiency']}; "
+        f"capacity-normalized {m['efficiency_normalized']}).",
+        "",
+        m.get("conclusion", ""),
+    ]
+    return lines
+
+
 def run_shuffle_matrix(turns: int | None = None) -> dict:
     table = ensure_bench_table(turns or BENCH_TURNS_832)
     import pyarrow.dataset as ds
@@ -978,6 +1122,13 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--multiproc-scaling":
         m = run_multiproc_scaling()
         print(json.dumps({"metric": "multiproc_scaling", **m}))
+        return
+    if len(sys.argv) > 3 and sys.argv[1] == "--tier-child":
+        run_tier_child(sys.argv[3], int(sys.argv[2]))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--tier-scaling":
+        m = run_tier_scaling()
+        print(json.dumps({"metric": "tier_merge_scaling", **m}))
         return
 
     times, spreads, probes = run_headline(sf_dir, cpus)
