@@ -4,14 +4,17 @@ metadata.
 The Spark-side plumbing (schema, partition-friendly layout, Arrow batch
 shapes, mapInPandas UDF signatures) is real and tested.  Image HEADER
 decode (width/height) is REAL for PNG/GIF/BMP/JPEG — pure stdlib byte
-parsing (``parse_image_header``), no image library needed.  Full PIXEL
-decode (and therefore content-derived features) still needs a codec
-library the sandbox lacks: for unrecognized payloads ``_decode_image``
-raises NotImplementedError unless ``fake=True``, in which case a
-deterministic fake decoder (derived from the payload bytes) exercises
-the full pipeline end-to-end; recognized headers always yield real
-dimensions, with the feature vector derived from the payload digest
-(documented stand-in for a model embedding).
+parsing (``parse_image_header``).  PIXEL decode is REAL for 8-bit
+non-interlaced gray/RGB/RGBA PNG (``decode_png``): PNG's only
+compression is DEFLATE, which the standard library provides (zlib), so
+the full encode→decode→content-feature path (``encode_png`` /
+``pixel_feature``) runs genuinely end-to-end with no image library.
+Pixel decode for OTHER containers (JPEG's DCT, GIF's LZW variants) and
+model embeddings still need libraries the sandbox lacks: for
+unrecognized payloads ``_decode_image`` raises NotImplementedError
+unless ``fake=True``, in which case a deterministic fake decoder
+exercises the pipeline; recognized non-PNG headers yield real
+dimensions with a payload-digest feature stand-in.
 
 Layout contract for 100 TB media tables: binaries ride in their own
 column so Parquet keeps them in a separate chunk (column pruning means
@@ -65,6 +68,45 @@ def media_from_documents(df: DataFrame) -> DataFrame:
     )
 
 
+def media_real_png(df: DataFrame, max_side: int = 24) -> DataFrame:
+    """Deterministic media table of GENUINE PNG payloads, one per
+    document: a seeded RGB gradient-plus-noise image whose size and
+    content derive from doc_id.  Built batch-wise in mapInPandas (the
+    encoder is pure numpy+zlib), so synthesis scales like any other
+    Arrow stage."""
+    from collections.abc import Iterator as _It
+
+    def gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                rng = np.random.RandomState(int(did) % (2**31))
+                w = 8 + int(rng.randint(0, max_side - 7))
+                h = 8 + int(rng.randint(0, max_side - 7))
+                gx = np.linspace(0, 255, w, dtype=np.float32)
+                img = np.stack(
+                    [
+                        np.tile(gx, (h, 1)),
+                        np.tile(np.linspace(0, 255, h)[:, None], (1, w)),
+                        rng.randint(0, 256, size=(h, w)).astype(np.float32),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                payload = encode_png(img)
+                rows.append(
+                    {
+                        "media_id": int(did),
+                        "kind": "image",
+                        "media": payload,
+                        "mime": "image/png",
+                        "n_bytes": len(payload),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def parse_image_header(payload: bytes) -> tuple[int, int] | None:
     """(width, height) from the container header — pure stdlib byte
     parsing, no image library.  Formats: PNG (IHDR, big-endian), GIF
@@ -111,6 +153,131 @@ def parse_image_header(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal REAL PNG encoder — pure stdlib (struct + zlib), no image
+    library.  Accepts uint8 arrays shaped (h, w) grayscale, (h, w, 3)
+    RGB, or (h, w, 4) RGBA; writes 8-bit, non-interlaced, filter-0
+    rows.  Output opens in any standards-compliant viewer; used to
+    synthesize genuine image payloads for the decode path's tests."""
+    import struct
+    import zlib
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL full PNG pixel decode — pure stdlib (struct + zlib + the
+    five standard unfilters), no image library: PNG's only compression
+    is DEFLATE, which IS in the standard library, so "pixel decode
+    needs pillow/opencv" is false for this format.  Supports the
+    non-interlaced 8-bit gray/RGB/RGBA subset (the overwhelming bulk of
+    real-world PNGs); palette/16-bit/interlaced raise ValueError with
+    the reason.  CRCs are verified.  Returns uint8 (h, w, ch)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, hdr = 8, [], None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = hdr
+    if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG subset (depth={depth} ctype={ctype} "
+            f"interlace={interlace}): only 8-bit gray/RGB/RGBA, "
+            "non-interlaced"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        row = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for x in range(ch, stride):
+                row[x] = (row[x] + row[x - ch]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = row[x - ch] if x >= ch else 0
+                row[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+        prev = out[y]
+    return out.reshape(h, w, ch)
+
+
+def pixel_feature(px: np.ndarray) -> np.ndarray:
+    """8-dim REAL content feature from decoded pixels: per-channel mean
+    and std (gray broadcast to 3 channels), overall luminance mean, and
+    log-aspect — all in [0, 1]-ish ranges, deterministic."""
+    x = px.astype(np.float64)
+    if x.shape[2] == 1:
+        x = np.repeat(x, 3, axis=2)
+    rgb = x[:, :, :3]
+    means = rgb.reshape(-1, 3).mean(axis=0) / 255.0
+    stds = rgb.reshape(-1, 3).std(axis=0) / 255.0
+    lum = float(rgb.mean()) / 255.0
+    aspect = float(np.log1p(px.shape[1] / px.shape[0]))
+    return np.array([*means, *stds, lum, aspect], dtype=np.float32)
+
+
 def _digest_feature(digest: bytes) -> np.ndarray:
     """8-dim deterministic stand-in for a model embedding, derived from
     the payload digest (real content embeddings need a codec + model
@@ -130,14 +297,25 @@ def _decode_image(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
     or NotImplementedError — full pixel decode needs an image library
     not present in this container."""
     digest = hashlib.sha256(payload).digest()
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            px = decode_png(payload)
+            return px.shape[1], px.shape[0], pixel_feature(px)
+        except ValueError:
+            # valid magic but outside the supported subset (palette/
+            # 16-bit/interlaced) — dimensions from the header, digest
+            # feature stand-in
+            pass
     dims = parse_image_header(payload)
     if dims is not None:
         return dims[0], dims[1], _digest_feature(digest)
     if not fake:
         raise NotImplementedError(
             "unrecognized image container: header parsing covers "
-            "PNG/GIF/BMP/JPEG; full pixel decode requires pillow/opencv "
-            "— pass fake=True for the deterministic stub"
+            "PNG/GIF/BMP/JPEG and PIXEL decode is real for 8-bit "
+            "non-interlaced PNG (stdlib zlib); other formats' pixel "
+            "decode requires pillow/opencv — pass fake=True for the "
+            "deterministic stub"
         )
     return 64 + digest[0], 64 + digest[1], _digest_feature(digest)
 

@@ -592,3 +592,134 @@ def test_dedup_clusters_random_vs_union_find(spark):
     pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs).collect()}
     assert got == want
+
+
+def _forward_filter(img: "np.ndarray", ftype: int) -> bytes:
+    """Apply a PNG forward filter row-wise (test-side reference,
+    independent of the decoder's inverse) and build the raw stream."""
+    import numpy as np
+
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row = flat[y]
+        left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if ftype == 0:
+            enc = row
+        elif ftype == 1:
+            enc = row - left
+        elif ftype == 2:
+            enc = row - prev
+        elif ftype == 3:
+            enc = row - ((left + prev) >> 1)
+        elif ftype == 4:
+            p = left + prev - upleft
+            pa, pb, pc = (
+                np.abs(p - left), np.abs(p - prev), np.abs(p - upleft),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = row - pred
+        out.append(ftype)
+        out.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    return bytes(out)
+
+
+def test_png_roundtrip_exact():
+    """encode_png → decode_png is pixel-exact for gray/RGB/RGBA at
+    assorted sizes (the decoder is REAL: stdlib zlib + unfilters)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    for shape in [(1, 1), (5, 3), (16, 16), (7, 31)]:
+        for ch in (None, 3, 4):
+            s = shape if ch is None else (*shape, ch)
+            img = rng.randint(0, 256, size=s, dtype=np.uint8).astype(np.uint8)
+            px = multimodal.decode_png(multimodal.encode_png(img))
+            want = img[:, :, None] if img.ndim == 2 else img
+            assert np.array_equal(px, want), (shape, ch)
+
+
+def test_png_decoder_all_filters():
+    """The decoder inverts every standard filter type (1 Sub, 2 Up,
+    3 Average, 4 Paeth), validated against an independent test-side
+    forward-filter implementation."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(11, 6, 3), dtype=np.uint8)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    for ftype in (0, 1, 2, 3, 4):
+        raw = _forward_filter(img, ftype)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 11, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        px = multimodal.decode_png(payload)
+        assert np.array_equal(px, img), f"filter {ftype}"
+
+
+def test_png_decoder_rejects_unsupported():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    # palette PNG (ctype 3) → honest ValueError, and the pipeline falls
+    # back to header dims + digest feature rather than wrong pixels
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG subset"):
+        multimodal.decode_png(payload)
+    w, h, feat = multimodal._decode_image(payload, fake=False)
+    assert (w, h) == (4, 2) and len(feat) == 8
+
+
+def test_multimodal_real_png_end_to_end(spark):
+    """Genuine PNG payloads through the full Spark path with
+    fake=False: dimensions AND content features come from a real pixel
+    decode, matching a local decode of the same bytes."""
+    import numpy as np
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = multimodal.media_real_png(docs.limit(20))
+    rows = {
+        r.media_id: r
+        for r in multimodal.extract_features(media, fake=False).collect()
+    }
+    local = {r.media_id: bytes(r.media) for r in media.collect()}
+    assert len(rows) == 20
+    for mid, payload in local.items():
+        px = multimodal.decode_png(payload)
+        want = multimodal.pixel_feature(px)
+        got = rows[mid]
+        assert (got.width, got.height) == (px.shape[1], px.shape[0])
+        assert np.allclose(got.feature, want, atol=1e-6)
