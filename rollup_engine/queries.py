@@ -621,6 +621,18 @@ def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (round-5): conversations cohorted by
+    first active day; each (cohort, day-offset) cell counts the cohort
+    keys active that many days later plus the fraction retained — all
+    on the deduped pair relation, cohort via window MIN (no firsts
+    join), size via window MAX of the offset-0 cell (no self-join)
+    (see tsops.cohort_retention)."""
+    from .tsops import cohort_retention
+
+    return cohort_retention(from_events(spark, sf_dir), "conv_id", "ts")
+
+
 def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window exact distinct counts (round-5): active
     conversations over every 5-minute window hopping by 1 minute,
@@ -763,6 +775,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xcorr_load_latency": q_xcorr_load_latency,
     "distinct_day_cascade": q_distinct_day_cascade,
     "sliding_distinct": q_sliding_distinct,
+    "cohort_retention": q_cohort_retention,
     "rolling_median": q_rolling_median,
     "funnel_steps": q_funnel_steps,
     "threshold_alerts": q_threshold_alerts,
@@ -862,6 +875,7 @@ _DRIVER_OVERFLOW = [
     "xcorr_load_latency",
     "distinct_day_cascade",
     "sliding_distinct",
+    "cohort_retention",
     "rolling_median",
     "stream_sliding",
     "funnel_steps",
@@ -1478,6 +1492,24 @@ SELECT conv_id, turn_idx, delta_ms,
             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT)
            AS roll_med
 FROM d WHERE delta_ms IS NOT NULL"""
+
+# Cohort retention: independent formulation — firsts table + explicit
+# offset-0 self-join (the engine uses two windows instead); DOUBLE
+# division is the same single IEEE op both sides.
+ORACLES["cohort_retention"] = f"""{_TRANSCRIPTS_CTE},
+p AS (SELECT DISTINCT conv_id, date_trunc('day', ts) AS d FROM t),
+c AS (SELECT p.conv_id, p.d, f.cohort
+      FROM p JOIN (SELECT conv_id, MIN(d) AS cohort FROM p GROUP BY 1) f
+      USING (conv_id)),
+g AS (SELECT cohort, CAST(date_diff('day', cohort, d) AS BIGINT)
+                 AS offset_days,
+             COUNT(DISTINCT conv_id) AS n_active
+      FROM c GROUP BY 1, 2)
+SELECT g.cohort AS cohort_day, g.offset_days, g.n_active,
+       g0.n_active AS cohort_size,
+       CAST(g.n_active AS DOUBLE) / g0.n_active AS retention_rate
+FROM g JOIN (SELECT cohort, n_active FROM g WHERE offset_days = 0) g0
+USING (cohort)"""
 
 # Hopping-window distinct: the oracle replicates RAW rows into their 5
 # containing windows and counts distinct directly; the engine reads the

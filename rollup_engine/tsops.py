@@ -1075,3 +1075,57 @@ def rolling_quantile(
             "roll_mad", F.when(n > 0, F.element_at(dev, midx))
         )
     return out.drop("_arr")
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    unit: str = "day",
+) -> DataFrame:
+    """Cohort retention (the product-analytics companion of ``funnel``):
+    keys are cohorted by their FIRST active ``unit`` bucket; for each
+    (cohort, offset) cell, how many of the cohort's keys were active
+    ``offset`` units later, and what fraction of the cohort that is.
+
+    Shape — everything runs on the deduped (key, bucket) pair relation,
+    never raw rows: distinct pairs (map-side partial dedup, one
+    exchange) → per-key cohort as a window MIN (no join against a
+    firsts table) → count_distinct per (cohort, offset) → cohort size
+    attached as a window MAX of the offset-0 cell (no self-join).  The
+    final relation is |cohorts| × |offsets| — calendar-bounded.
+
+    ``retention_rate`` is one long/long IEEE division — deterministic
+    cross-engine.
+    """
+    b = F.date_trunc(unit, F.col(ts_col))
+    pairs = (
+        df.select(F.col(key_col).alias("_k"), b.alias("_b"))
+        .where(F.col("_k").isNotNull())
+        .distinct()
+    )
+    wk = Window.partitionBy("_k")
+    withc = pairs.withColumn("_cohort", F.min("_b").over(wk))
+    g = (
+        withc.select(
+            "_cohort",
+            F.datediff(F.col("_b"), F.col("_cohort")).cast("long").alias(
+                "offset_days"
+            ),
+            "_k",
+        )
+        .groupBy("_cohort", "offset_days")
+        .agg(F.count_distinct("_k").alias("n_active"))
+    )
+    wc = Window.partitionBy("_cohort")
+    g = g.withColumn(
+        "cohort_size",
+        F.max(F.when(F.col("offset_days") == 0, F.col("n_active"))).over(wc),
+    )
+    return g.select(
+        F.col("_cohort").alias("cohort_day"),
+        "offset_days",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active") / F.col("cohort_size")).alias("retention_rate"),
+    )

@@ -1167,3 +1167,34 @@ def test_rolling_quantile_p90_and_single_exchange(spark):
         fresh._jdf.queryExecution(), "formatted"
     )
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
+def test_cohort_retention_pinned(spark):
+    """Hand-checked cohort matrix: cohorts by first active day, cells
+    count distinct keys, rate = cell / cohort size."""
+    from rollup_engine.tsops import cohort_retention
+
+    rows = [
+        # key a: first day 1, returns day 2 and 3
+        ("a", "2024-01-01T10:00:00"), ("a", "2024-01-02T09:00:00"),
+        ("a", "2024-01-03T01:00:00"), ("a", "2024-01-01T23:59:59"),
+        # key b: first day 1, returns day 3 only
+        ("b", "2024-01-01T00:00:00"), ("b", "2024-01-03T12:00:00"),
+        # key c: first day 2, never returns
+        ("c", "2024-01-02T05:00:00"),
+    ]
+    df = spark.createDataFrame(
+        [(k, _ts(t)) for k, t in rows], "conv_id string, ts timestamp"
+    )
+    out = {
+        (str(r.cohort_day)[:10], r.offset_days): (
+            r.n_active, r.cohort_size, r.retention_rate,
+        )
+        for r in cohort_retention(df).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): (2, 2, 1.0),
+        ("2024-01-01", 1): (1, 2, 0.5),
+        ("2024-01-01", 2): (2, 2, 1.0),
+        ("2024-01-02", 0): (1, 1, 1.0),
+    }
