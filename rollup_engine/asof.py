@@ -17,9 +17,10 @@ classic sort-merge as-of without the merge join's range-condition
 explosion (a naive ``left.ts >= right.ts`` theta-join is O(|L|·|R|)
 before per-key pruning; this is O((|L|+|R|) log) and AQE-skew-safe).
 
-Direction: ``backward`` (inclusive) — a right row exactly at left.ts
-matches, mirroring DuckDB/pandas ``ASOF JOIN`` defaults, which the
-driver gate uses as the oracle.
+Direction: ``backward`` (inclusive, the DuckDB/pandas ``ASOF JOIN``
+default) or ``forward`` (round-5: earliest right row at or after
+left.ts — the same kernel with the scan reversed); both driver-gated
+against DuckDB's native ASOF JOIN with the matching inequality.
 
 ``counter_increase`` is the PromQL-style ``increase()`` kernel: per-key
 deltas of a monotonic counter with reset detection (a decrease means
@@ -43,13 +44,18 @@ def asof_join(
     ts_col: str = "ts",
     right_tiebreak: str | None = None,
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of join.
+    """Inclusive as-of join, ``backward`` (default) or ``forward``.
 
     Every column of ``right`` other than the keys and ``ts_col`` is
-    carried onto each left row from the latest right row with
-    ``right.ts ≤ left.ts`` in the same ``by`` group (NULLs when no such
-    row); the matched right timestamp arrives as ``{ts_col}_asof``.
+    carried onto each left row from the LATEST right row with
+    ``right.ts ≤ left.ts`` (backward) or the EARLIEST right row with
+    ``right.ts ≥ left.ts`` (forward — "next deploy after the alert",
+    "next response after the request") in the same ``by`` group (NULLs
+    when no such row); the matched right timestamp arrives as
+    ``{ts_col}_asof``.  Forward is the same union+window kernel with
+    the scan direction reversed — still no join node, one shuffle.
 
     ``right_tiebreak``: column ordering right rows that share an exact
     (key, ts) — the greatest wins, deterministically.  Without it, give
@@ -59,6 +65,8 @@ def asof_join(
     ``tolerance_seconds``: matches older than this are nulled out
     (pandas ``merge_asof(tolerance=...)`` semantics).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     by = list(by)
     carry = [c for c in right.columns if c not in by and c != ts_col]
     overlap = set(carry) & set(left.columns)
@@ -95,9 +103,14 @@ def asof_join(
             *[F.col(c) for c in carry], F.col(ts_col).alias(matched_ts)
         ).alias("_asof"),
     )
-    # order: ts, then right-before-left at equal ts (backward INCLUSIVE),
-    # then the caller's deterministic tie-break among equal right rows
-    order = [F.col(ts_col).asc(), F.col("_side").asc()]
+    # order: ts (reversed scan for forward), then right-before-left at
+    # equal ts (INCLUSIVE both directions), then the caller's
+    # deterministic tie-break among equal right rows (greatest wins in
+    # either direction: ties order asc and last() carries the final one)
+    ts_order = (
+        F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    )
+    order = [ts_order, F.col("_side").asc()]
     if right_tiebreak is not None:
         if right_tiebreak not in carry:
             raise ValueError(
@@ -124,13 +137,14 @@ def asof_join(
         )
     )
     if tolerance_seconds is not None:
-        stale = (
-            F.col(matched_ts).isNull()
-            | (
-                F.unix_micros(F.col(ts_col).cast("timestamp"))
-                - F.unix_micros(F.col(matched_ts).cast("timestamp"))
-                > int(tolerance_seconds) * 1_000_000
-            )
+        gap = (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(F.col(matched_ts).cast("timestamp"))
+        )
+        if direction == "forward":
+            gap = -gap
+        stale = F.col(matched_ts).isNull() | (
+            gap > int(tolerance_seconds) * 1_000_000
         )
         out = out.withColumns(
             {

@@ -621,6 +621,33 @@ def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (round-5): each event gets the user's NEXT
+    purchase at or after its timestamp — the reversed-scan twin of the
+    backward gate, still no join node (asof.asof_join
+    direction='forward').  Oracle: DuckDB native ASOF LEFT JOIN with
+    the <= inequality."""
+    from .asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.select("event_id", "user_id", "ts")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        left, purchases, by=["user_id"], ts_col="ts", direction="forward"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix (round-5): conversations cohorted by
     first active day; each (cohort, day-offset) cell counts the cohort
@@ -776,6 +803,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_day_cascade": q_distinct_day_cascade,
     "sliding_distinct": q_sliding_distinct,
     "cohort_retention": q_cohort_retention,
+    "asof_join_forward": q_asof_join_forward,
     "rolling_median": q_rolling_median,
     "funnel_steps": q_funnel_steps,
     "threshold_alerts": q_threshold_alerts,
@@ -876,6 +904,7 @@ _DRIVER_OVERFLOW = [
     "distinct_day_cascade",
     "sliding_distinct",
     "cohort_retention",
+    "asof_join_forward",
     "rolling_median",
     "stream_sliding",
     "funnel_steps",
@@ -1492,6 +1521,19 @@ SELECT conv_id, turn_idx, delta_ms,
             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT)
            AS roll_med
 FROM d WHERE delta_ms IS NOT NULL"""
+
+# Forward as-of: DuckDB native ASOF picks the closest match under the
+# given inequality — e.ts <= p.ts selects the earliest purchase at or
+# after the event.
+ORACLES["asof_join_forward"] = """
+WITH p AS (
+    SELECT user_id, ts, max(value) AS purchase_value
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       p.ts AS purchase_ts, p.purchase_value
+FROM events e ASOF LEFT JOIN p
+    ON e.user_id = p.user_id AND e.ts <= p.ts"""
 
 # Cohort retention: independent formulation — firsts table + explicit
 # offset-0 self-join (the engine uses two windows instead); DOUBLE

@@ -128,3 +128,67 @@ def test_counter_increase_reset_detection(spark):
         for r in df.withColumn("inc", inc).orderBy("ts").collect()
     ]
     assert got == [None, 15.0, 5.0, 25.0]
+
+
+def test_asof_forward_pinned(spark):
+    """Forward direction: earliest right row AT or AFTER left.ts;
+    inclusive boundary; NULL when nothing follows; tolerance nulls
+    matches farther ahead than the bound."""
+    import datetime as dt
+
+    from rollup_engine.asof import asof_join
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        [("u", 1, ts(0)), ("u", 2, ts(5)), ("u", 3, ts(11))],
+        "user_id string, event_id int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", ts(5), 50), ("u", ts(9), 90)],
+        "user_id string, ts timestamp, v int",
+    )
+    out = {
+        r.event_id: (r.v, r.ts_asof)
+        for r in asof_join(
+            left, right, by=["user_id"], ts_col="ts", direction="forward"
+        ).collect()
+    }
+    assert out[1] == (50, ts(5))   # next at +5min
+    assert out[2] == (50, ts(5))   # boundary: equal ts matches (inclusive)
+    assert out[3] == (None, None)  # nothing after 0:11
+    tol = {
+        r.event_id: (r.v, r.ts_asof)
+        for r in asof_join(
+            left, right, by=["user_id"], ts_col="ts",
+            direction="forward", tolerance_seconds=120,
+        ).collect()
+    }
+    assert tol[1] == (None, None)  # next match is 5 min ahead > 2 min
+    assert tol[2] == (50, ts(5))
+
+
+def test_asof_forward_tie_and_struct_atomicity(spark):
+    """Equal-ts right rows resolve to the greatest tiebreak; the
+    carried row stays atomic (a NULL field never backfills from a
+    different right row)."""
+    import datetime as dt
+
+    from rollup_engine.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("u", 1, t0)], "user_id string, event_id int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", t0, 1, "a"), ("u", t0, 2, None)],
+        "user_id string, ts timestamp, pri int, label string",
+    )
+    r = asof_join(
+        left, right, by=["user_id"], ts_col="ts",
+        direction="forward", right_tiebreak="pri",
+    ).collect()[0]
+    # greatest pri wins atomically: label must be ITS (NULL) label,
+    # never 'a' borrowed from the losing row
+    assert (r.pri, r.label) == (2, None)
