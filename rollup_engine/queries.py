@@ -621,6 +621,21 @@ def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap sweep (round-5): how many user sessions are
+    simultaneously active at each session boundary — +1/-1 events with
+    a CHUNKED prefix sum (per-day running sums + calendar-size day
+    offsets + broadcast join; no global unpartitioned window over the
+    events — see tsops.concurrency)."""
+    from .tsops import concurrency, session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sessions = session_stats(
+        ev, gap_seconds=1800, by=["user_id"], order_tiebreak="event_id"
+    )
+    return concurrency(sessions, "session_start", "session_end")
+
+
 def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join (round-5): each event gets the user's NEXT
     purchase at or after its timestamp — the reversed-scan twin of the
@@ -804,6 +819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_distinct": q_sliding_distinct,
     "cohort_retention": q_cohort_retention,
     "asof_join_forward": q_asof_join_forward,
+    "concurrent_sessions": q_concurrent_sessions,
     "rolling_median": q_rolling_median,
     "funnel_steps": q_funnel_steps,
     "threshold_alerts": q_threshold_alerts,
@@ -905,6 +921,7 @@ _DRIVER_OVERFLOW = [
     "sliding_distinct",
     "cohort_retention",
     "asof_join_forward",
+    "concurrent_sessions",
     "rolling_median",
     "stream_sliding",
     "funnel_steps",
@@ -1521,6 +1538,48 @@ SELECT conv_id, turn_idx, delta_ms,
             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT)
            AS roll_med
 FROM d WHERE delta_ms IS NOT NULL"""
+
+# Concurrency sweep: the oracle reuses the sessionize derivation, then
+# runs the sweep as ONE global running sum (fine for DuckDB; the engine
+# must produce the identical curve through its chunked two-pass shape).
+# (ts, -delta) order counts touching intervals as overlapping; the
+# running values among identical tied rows form the same consecutive
+# multiset in both engines.
+ORACLES["concurrent_sessions"] = """
+WITH o AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+f AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN prev IS NULL
+                     OR epoch_us(ts) - epoch_us(prev) > 1800 * 1000000
+                THEN 1 ELSE 0 END AS flag
+    FROM o
+),
+s AS (
+    SELECT user_id, ts,
+           CAST(SUM(flag) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM f
+),
+g AS (
+    SELECT user_id, session_seq,
+           min(ts) AS s, max(ts) AS e
+    FROM s GROUP BY 1, 2
+),
+ev AS (
+    SELECT s AS ts, CAST(1 AS INT) AS delta FROM g
+    UNION ALL
+    SELECT e AS ts, CAST(-1 AS INT) AS delta FROM g
+)
+SELECT ts, delta,
+       CAST(SUM(delta) OVER (ORDER BY ts ASC, delta DESC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS concurrent
+FROM ev"""
 
 # Forward as-of: DuckDB native ASOF picks the closest match under the
 # given inequality — e.ts <= p.ts selects the earliest purchase at or

@@ -1129,3 +1129,67 @@ def cohort_retention(
         "cohort_size",
         (F.col("n_active") / F.col("cohort_size")).alias("retention_rate"),
     )
+
+
+def concurrency(
+    intervals: DataFrame,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Interval-overlap sweep: how many intervals (sessions, requests,
+    calls) are simultaneously active at each boundary instant — the
+    "concurrent sessions over time" curve, the one activity view a
+    per-bucket distinct count cannot give (a session spanning a bucket
+    boundary is active in both buckets but starts in one).
+
+    Sweep-line as relational algebra: each CLOSED interval [start, end]
+    becomes a +1 event at start and a −1 event at end; the running sum
+    of deltas in (ts, −delta) order (starts before ends at the same
+    instant, so touching intervals count as overlapping) IS the
+    concurrency after each boundary.  Output: one row per boundary
+    event with the concurrency level from that instant on.
+
+    Scale shape — the global prefix sum NEVER runs as one unpartitioned
+    window over the events: pass 1 computes running sums within
+    (keys, day) partitions; pass 2 builds the per-day total relation
+    (one row per day — calendar-bounded, the gapfill precedent),
+    prefix-sums THAT tiny relation, and a broadcast join adds each
+    day's offset.  Cost: one keyed-day window + one calendar-size
+    window + a broadcast join.
+    """
+    keys = list(by)
+    ev = (
+        intervals.select(
+            *keys, F.col(start_col).alias("_ts"), F.lit(1).alias("_d")
+        )
+        .unionByName(
+            intervals.select(
+                *keys, F.col(end_col).alias("_ts"), F.lit(-1).alias("_d")
+            )
+        )
+        .where(F.col("_ts").isNotNull())
+        .withColumn("_day", F.date_trunc("day", F.col("_ts")))
+    )
+    w_in = (
+        Window.partitionBy(*keys, "_day")
+        .orderBy(F.col("_ts").asc(), F.col("_d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = ev.withColumn("_run", F.sum("_d").over(w_in))
+    day_tot = ev.groupBy(*keys, "_day").agg(F.sum("_d").alias("_dt"))
+    w_days = (
+        Window.partitionBy(*keys)
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = day_tot.withColumn(
+        "_off", F.coalesce(F.sum("_dt").over(w_days), F.lit(0))
+    ).select(*keys, "_day", "_off")
+    out = ev.join(F.broadcast(offsets), [*keys, "_day"], "left").select(
+        *keys,
+        F.col("_ts").alias("ts"),
+        F.col("_d").alias("delta"),
+        (F.col("_run") + F.col("_off")).cast("long").alias("concurrent"),
+    )
+    return out

@@ -1198,3 +1198,82 @@ def test_cohort_retention_pinned(spark):
         ("2024-01-01", 2): (2, 2, 1.0),
         ("2024-01-02", 0): (1, 1, 1.0),
     }
+
+
+def test_concurrency_pinned_and_cross_day(spark):
+    """Sweep semantics: touching intervals overlap (+1 before −1 at the
+    same instant), singleton intervals spike to 1, and the chunked
+    two-pass (day partials + day offsets) equals a straightforward
+    global running-sum reference ACROSS day boundaries."""
+    from rollup_engine.tsops import concurrency
+
+    iv = [
+        # overlapping pair within a day
+        ("2024-01-01T10:00:00", "2024-01-01T11:00:00"),
+        ("2024-01-01T10:30:00", "2024-01-01T12:00:00"),
+        # touching: starts exactly when the previous ends → overlaps
+        ("2024-01-01T12:00:00", "2024-01-01T13:00:00"),
+        # crosses midnight — the day-offset carry must keep it open
+        ("2024-01-01T23:00:00", "2024-01-02T01:00:00"),
+        # lives entirely in day 2 while the cross-day one is open
+        ("2024-01-02T00:30:00", "2024-01-02T00:45:00"),
+    ]
+    df = spark.createDataFrame(
+        [(_ts(s), _ts(e)) for s, e in iv],
+        "session_start timestamp, session_end timestamp",
+    )
+    out = sorted(
+        ((r.ts, r.delta, r.concurrent) for r in concurrency(df).collect()),
+    )
+    # global reference: sort events by (ts, -delta), running sum
+    events = sorted(
+        [(_ts(s), 1) for s, _ in iv] + [(_ts(e), -1) for _, e in iv],
+        key=lambda x: (x[0], -x[1]),
+    )
+    run, want = 0, []
+    for ts, d in events:
+        run += d
+        want.append((ts, d, run))
+    assert out == sorted(want)
+    # spot pins: the touching start reaches 2; midnight-crossing keeps
+    # day-2 concurrency at 2 while both are open
+    m = {(ts, d): c for ts, d, c in out}
+    assert m[(_ts("2024-01-01T12:00:00"), 1)] == 2
+    assert m[(_ts("2024-01-02T00:30:00"), 1)] == 2
+
+
+def test_concurrency_no_unpartitioned_window_over_events(spark):
+    """The global prefix sum must never run as one unpartitioned window
+    over the event relation: any unpartitioned Window in the plan sits
+    above the per-day Aggregate (calendar-bounded), mirroring the
+    gap-fill pin."""
+    from rollup_engine.tsops import concurrency
+
+    df = spark.createDataFrame(
+        [(_ts("2024-01-01T10:00:00"), _ts("2024-01-01T11:00:00"))],
+        "session_start timestamp, session_end timestamp",
+    )
+    out = concurrency(df)
+
+    bad = []
+
+    def _walk(node, fn):
+        fn(node)
+        it = node.children().iterator()
+        while it.hasNext():
+            _walk(it.next(), fn)
+
+    def check(node):
+        if node.getClass().getSimpleName() != "Window":
+            return
+        if not node.partitionSpec().isEmpty():
+            return
+        seen = []
+        _walk(node, lambda n: seen.append(
+            n.getClass().getSimpleName() == "Aggregate"
+        ))
+        if not any(seen):
+            bad.append(node.toString()[:160])
+
+    _walk(out._jdf.queryExecution().optimizedPlan(), check)
+    assert bad == []
