@@ -484,6 +484,24 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline mean-shift changepoint per conversation (round-5): the
+    split k maximizing |n·S_k − k·S_n| over the latency series — exact
+    decimal(38,0) score products, rank-1 argmax with smallest-k
+    tie-break, so both engines pick the identical split (see
+    tsops.changepoint)."""
+    from .tsops import changepoint
+
+    d = (
+        _deltas(spark, sf_dir)
+        .select("conv_id", "turn_idx", "delta_ms")
+        .where(F.col("delta_ms").isNotNull())
+    )
+    return changepoint(
+        d, "delta_ms", by=["conv_id"], order_col="turn_idx", min_seg=1
+    )
+
+
 def q_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day overlay of the hour tier (round-5): each hour
     bucket joined to the bucket 24 h earlier (a shifted-key LEFT
@@ -804,6 +822,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join": q_interval_join,
     "lttb_downsample": q_lttb_downsample,
     "cusum_drift": q_cusum_drift,
+    "changepoint": q_changepoint,
     "day_over_day": q_day_over_day,
     "time_weighted_avg": q_time_weighted_avg,
     "ohlc_minute": q_ohlc_minute,
@@ -911,6 +930,7 @@ _DRIVER_TAIL = [
 # first.
 _DRIVER_OVERFLOW = [
     "cusum_drift",
+    "changepoint",
     "day_over_day",
     "histogram_quantile",
     "seasonal_baseline",
@@ -1294,6 +1314,36 @@ SELECT conv_id, turn_idx, delta_ms,
        cs - LEAST(CAST(0 AS BIGINT), run_min) AS cusum,
        (cs - LEAST(CAST(0 AS BIGINT), run_min)) > 10000 AS drift
 FROM m"""
+
+# Changepoint: the same prefix sums, score products in HUGEINT (the
+# int128 twin of Spark's decimal(38,0) — both cast-to-double correctly
+# rounded), argmax via the identical (score DESC, k ASC) rank.
+ORACLES["changepoint"] = f"""{_DELTAS_CTE},
+s AS (SELECT conv_id, turn_idx, delta_ms FROM d WHERE delta_ms IS NOT NULL),
+c AS (
+    SELECT conv_id, turn_idx,
+        ROW_NUMBER() OVER wo AS k,
+        CAST(SUM(delta_ms) OVER wc AS BIGINT) AS ps,
+        COUNT(*) OVER wa AS n,
+        CAST(SUM(delta_ms) OVER wa AS BIGINT) AS tot
+    FROM s
+    WINDOW wo AS (PARTITION BY conv_id ORDER BY turn_idx),
+           wc AS (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS UNBOUNDED PRECEDING),
+           wa AS (PARTITION BY conv_id)),
+cand AS (
+    SELECT *, abs(CAST(n AS HUGEINT) * ps - CAST(k AS HUGEINT) * tot)
+               AS score
+    FROM c WHERE k >= 1 AND k <= n - 1),
+pick AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id
+                                 ORDER BY score DESC, k) AS rn
+    FROM cand)
+SELECT conv_id, turn_idx AS change_at, k AS split_k, n,
+       CAST(score AS DOUBLE) AS score,
+       ps / k AS mean_left,
+       (tot - ps) / (n - k) AS mean_right
+FROM pick WHERE rn = 1"""
 
 # Day-over-day: shifted-bucket LEFT self-join over the hour tier;
 # ratio = BIGINT/BIGINT → DOUBLE in both engines.

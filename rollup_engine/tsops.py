@@ -1193,3 +1193,74 @@ def concurrency(
         (F.col("_run") + F.col("_off")).cast("long").alias("concurrent"),
     )
     return out
+
+
+def changepoint(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = ("conv_id",),
+    order_col: str = "turn_idx",
+    min_seg: int = 1,
+) -> DataFrame:
+    """Single mean-shift changepoint per key — the offline CUSUM
+    estimator: the split k maximizing |n·S_k − k·S_n| over the series
+    ordered by ``order_col`` (S = prefix sum).  This is the classic
+    deviation-of-prefix-sum-from-the-linear-trend statistic: argmax_k
+    |S_k − (k/n)·S_n|, scaled by n so the WHOLE score stays in exact
+    integer arithmetic — no float accumulation, no division until the
+    reported means.  Companion to the online ``cusum`` monitor (which
+    answers "is it drifting NOW"; this answers "WHERE did the level
+    shift").
+
+    Shape: one keyed window (cumsum + row index in the same sort), one
+    whole-partition window (n, S_n — same exchange, no extra sort), a
+    rank-1 argmax via row_number over (score DESC, k ASC) — compiles to
+    WindowGroupLimit, so the per-key top-1 is pushed below the final
+    exchange.  One shuffle of the input total.
+
+    Exactness: per-row values cast long; the score products run in
+    decimal(38,0) (DuckDB mirrors with int128; both cast-to-double
+    correctly rounded), so argmax ties and the reported score are
+    bit-identical cross-engine.  Tie-break: smallest k.  Segment means
+    are ONE bigint/bigint double division each.  Keys with fewer than
+    ``2·min_seg`` observations yield no row (no admissible split).
+    """
+    keys = list(by)
+    dec = "decimal(38,0)"
+    v = F.col(value_col).cast("long")
+    w_seq = Window.partitionBy(*keys).orderBy(order_col)
+    w_cum = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(*keys)
+    t = df.select(*keys, order_col, v.alias("_v")).withColumns(
+        {
+            "_k": F.row_number().over(w_seq).cast("long"),
+            "_s": F.sum("_v").over(w_cum),
+            "_n": F.count(F.lit(1)).over(w_all),
+            "_tot": F.sum("_v").over(w_all),
+        }
+    )
+    score = F.abs(
+        F.col("_n").cast(dec) * F.col("_s").cast(dec)
+        - F.col("_k").cast(dec) * F.col("_tot").cast(dec)
+    )
+    cand = t.where(
+        (F.col("_k") >= int(min_seg)) & (F.col("_k") <= F.col("_n") - int(min_seg))
+    ).withColumn("_score", score)
+    w_pick = Window.partitionBy(*keys).orderBy(
+        F.col("_score").desc(), F.col("_k").asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w_pick))
+        .where(F.col("_rn") == 1)
+        .select(
+            *keys,
+            F.col(order_col).alias("change_at"),
+            F.col("_k").alias("split_k"),
+            F.col("_n").alias("n"),
+            F.col("_score").cast("double").alias("score"),
+            (F.col("_s") / F.col("_k")).alias("mean_left"),
+            ((F.col("_tot") - F.col("_s")) / (F.col("_n") - F.col("_k"))).alias(
+                "mean_right"
+            ),
+        )
+    )

@@ -1277,3 +1277,94 @@ def test_concurrency_no_unpartitioned_window_over_events(spark):
 
     _walk(out._jdf.queryExecution().optimizedPlan(), check)
     assert bad == []
+
+
+def test_changepoint_pinned(spark):
+    """Step series 1,1,1,11,11,11: scores |6·S_k − 36k| are
+    30,60,90,60,30 → split at k=3, means 1.0 / 11.0."""
+    from rollup_engine.tsops import changepoint
+
+    rows = [("a", i, v) for i, v in enumerate([1, 1, 1, 11, 11, 11])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, delta_ms long"
+    )
+    [r] = changepoint(df, "delta_ms", by=["conv_id"], order_col="turn_idx").collect()
+    assert (r.split_k, r.n, r.change_at) == (3, 6, 2)
+    assert r.score == 90.0
+    assert (r.mean_left, r.mean_right) == (1.0, 11.0)
+
+
+def test_changepoint_tie_break_smallest_k(spark):
+    """Constant series: every split scores 0 — the smallest k wins."""
+    from rollup_engine.tsops import changepoint
+
+    df = spark.createDataFrame(
+        [("a", i, 5) for i in range(4)],
+        "conv_id string, turn_idx int, delta_ms long",
+    )
+    [r] = changepoint(df, "delta_ms", by=["conv_id"], order_col="turn_idx").collect()
+    assert r.split_k == 1 and r.score == 0.0
+
+
+def test_changepoint_matches_bruteforce(spark):
+    """Seeded multi-key series with a planted shift: the window argmax
+    equals an exhaustive numpy scan of |n·S_k − k·S_n| per key."""
+    import numpy as np
+
+    from rollup_engine.tsops import changepoint
+
+    rng = np.random.RandomState(11)
+    rows, expect = [], {}
+    for key in ["k0", "k1", "k2"]:
+        n = int(rng.randint(5, 60))
+        split = int(rng.randint(1, n))
+        vals = np.concatenate(
+            [rng.randint(0, 100, size=split), rng.randint(500, 600, size=n - split)]
+        ).astype(np.int64)
+        rows += [(key, i, int(v)) for i, v in enumerate(vals)]
+        ps = np.cumsum(vals)
+        ks = np.arange(1, n)
+        scores = np.abs(n * ps[:-1] - ks * ps[-1])
+        best = int(ks[int(np.argmax(scores))])  # argmax takes first max = smallest k
+        expect[key] = (best, int(scores.max()))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, delta_ms long"
+    )
+    got = {
+        r.conv_id: (r.split_k, int(r.score))
+        for r in changepoint(
+            df, "delta_ms", by=["conv_id"], order_col="turn_idx"
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_changepoint_min_rows(spark):
+    """A 1-row key admits no split and yields no output row."""
+    from rollup_engine.tsops import changepoint
+
+    df = spark.createDataFrame(
+        [("a", 0, 7), ("b", 0, 1), ("b", 1, 9)],
+        "conv_id string, turn_idx int, delta_ms long",
+    )
+    out = changepoint(df, "delta_ms", by=["conv_id"], order_col="turn_idx")
+    assert [r.conv_id for r in out.collect()] == ["b"]
+
+
+def test_changepoint_plan_single_exchange_grouplimit(spark):
+    """Changepoint = ONE hash exchange on the key; the rank-1 argmax
+    compiles to WindowGroupLimit so the per-key top-1 is selected
+    below the final window, not after a full per-key sort spill."""
+    import re
+
+    from rollup_engine.tsops import changepoint
+
+    df = spark.createDataFrame(
+        [("a", 1, 10)], "conv_id string, turn_idx int, delta_ms long"
+    )
+    out = changepoint(df, "delta_ms", by=["conv_id"], order_col="turn_idx")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "WindowGroupLimit" in plan, plan
