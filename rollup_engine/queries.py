@@ -931,6 +931,7 @@ _DRIVER_TAIL = [
 _DRIVER_OVERFLOW = [
     "cusum_drift",
     "changepoint",
+    "typo_pairs",
     "day_over_day",
     "histogram_quantile",
     "seasonal_baseline",

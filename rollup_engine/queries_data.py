@@ -42,6 +42,23 @@ PLANTED_PAIRS = 8
 PLANTED_BASE_ID = 10_000_000
 
 
+# Planted typo terms for the typo_pairs gate: the synthetic corpus
+# vocabulary (~30 distinct words) contains NO natural edit-distance-1
+# pair, so without these the FastSS gate would be vacuously green.
+# Each is distance 1 from a corpus word (delete/substitute/insert) or
+# from its planted partner; both engines append the same literals.
+PLANTED_TYPOS = [
+    "tble",       # table  (delete)
+    "windo",      # window (delete)
+    "sparc",      # spark  (substitute)
+    "quer",       # query  (delete)
+    "filte",      # filter (delete)
+    "merg",       # merge  (delete)
+    "tokenizer",  # planted pair ...
+    "tokeniser",  # ... distance 1 to each other
+]
+
+
 def _planted_neardups(dim: int = EMBEDDING_DIM) -> list[tuple[int, list[float]]]:
     """Deterministic near-dup vector pairs: each is a seeded unit
     vector and a ~1.5e-3 per-dim perturbation (cosine ≈ 0.99993, i.e.
@@ -244,6 +261,31 @@ def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_pairs_exact(_embs(spark, sf_dir), threshold=0.4)
 
 
+def _vocab_with_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (lowercased, alpha-only, length ≥ 3) plus the
+    planted typo literals — the universe of the typo_pairs gate."""
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .select(F.regexp_replace(F.lower("w"), "[^a-z]", "").alias("term"))
+        .where(F.length("term") >= 3)
+    )
+    planted = spark.createDataFrame([(t,) for t in PLANTED_TYPOS], "term string")
+    return words.unionByName(planted)
+
+
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 vocabulary pairs via FastSS deletion
+    neighborhoods (dedup.edit_distance_pairs) over the corpus vocab
+    augmented with planted typos (see PLANTED_TYPOS — the raw vocab
+    has no distance-1 pair).  Oracle is the brute-force levenshtein
+    cross join over the same universe: falsifiable both ways — a
+    candidate-generation recall bug drops rows, a verify bug adds."""
+    return dedup.edit_distance_pairs(
+        _vocab_with_typos(spark, sf_dir), "term", max_dist=1
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set selection composition: exact-dedup survivors that
     clear a quality threshold in the target language — the canonical
@@ -292,6 +334,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_join_lsh": q_knn_join_lsh,
     "embedding_pairs": q_embedding_pairs,
     "embedding_pairs_exact": q_embedding_pairs_exact,
+    "typo_pairs": q_typo_pairs,
     "quality_filter": q_quality_filter,
     "stratified_sample": q_stratified_sample,
     "multimodal_meta": q_multimodal_meta,
@@ -563,6 +606,26 @@ DATA_ORACLES: dict[str, str] = {
            CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens_total,
            round(avg(quality), 4) AS avg_quality
     FROM feats GROUP BY source""",
+    # typo_pairs: brute-force levenshtein self-join over the identical
+    # vocab universe (DuckDB levenshtein == Spark's: unit-cost
+    # insert/delete/substitute).  Fine at oracle scale; the engine side
+    # is the deletion-neighborhood index, never the cross join.
+    "typo_pairs": r"""
+    WITH w AS (
+        SELECT DISTINCT regexp_replace(lower(unnest(string_split(text, ' '))),
+                                       '[^a-z]', '', 'g') AS term
+        FROM documents
+    ), v AS (
+        SELECT term FROM w WHERE length(term) >= 3
+        UNION
+        SELECT * FROM (VALUES """
+    + ", ".join(f"('{t}')" for t in PLANTED_TYPOS)
+    + r""") t(term)
+    )
+    SELECT a.term AS term_a, b.term AS term_b,
+           CAST(levenshtein(a.term, b.term) AS INTEGER) AS dist
+    FROM v a JOIN v b ON a.term < b.term
+    WHERE levenshtein(a.term, b.term) <= 1""",
     "dedup_exact": r"""
     SELECT min(doc_id) AS doc_id,
            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,

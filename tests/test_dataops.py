@@ -723,3 +723,77 @@ def test_multimodal_real_png_end_to_end(spark):
         got = rows[mid]
         assert (got.width, got.height) == (px.shape[1], px.shape[0])
         assert np.allclose(got.feature, want, atol=1e-6)
+
+
+def _terms(spark, terms):
+    return spark.createDataFrame([(t,) for t in terms], "term string")
+
+
+def test_edit_distance_pairs_pinned(spark):
+    """delete ('tabl'), substitute ('tible'), insert ('tables') all sit
+    at distance 1 of 'table'; 'cable' (distance 2: t→c is 1... actually
+    sub = 1) — craft unambiguous: 'query'/'quer' 1, 'query'/'que' 2,
+    unrelated never."""
+    terms = ["query", "quer", "que", "window", "windows", "spark"]
+    got = {
+        (r.term_a, r.term_b): r.dist
+        for r in dedup.edit_distance_pairs(_terms(spark, terms), "term").collect()
+    }
+    assert got == {
+        ("quer", "query"): 1,  # delete
+        ("que", "quer"): 1,  # delete (chain que-quer-query; que/query = 2, absent)
+        ("window", "windows"): 1,  # insert
+    }
+
+
+def test_edit_distance_pairs_d2_matches_bruteforce(spark):
+    """Depth-2 neighborhoods vs an exhaustive python Levenshtein scan
+    over a seeded vocabulary — complete recall, exact distances."""
+    import itertools
+    import random
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(5)
+    vocab = sorted(
+        {
+            "".join(rng.choice("abc") for _ in range(rng.randint(3, 7)))
+            for _ in range(60)
+        }
+    )
+    expect = {
+        (a, b): lev(a, b)
+        for a, b in itertools.combinations(vocab, 2)
+        if lev(a, b) <= 2
+    }
+    got = {
+        (r.term_a, r.term_b): r.dist
+        for r in dedup.edit_distance_pairs(
+            _terms(spark, vocab), "term", max_dist=2
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_edit_distance_pairs_dedups_multi_variant_candidates(spark):
+    """A pair sharing several deletion variants ('abc'/'ab' share 'ab'
+    via identity and two deletions) must emit exactly once."""
+    out = dedup.edit_distance_pairs(_terms(spark, ["abc", "ab"]), "term").collect()
+    assert [(r.term_a, r.term_b, r.dist) for r in out] == [("ab", "abc", 1)]
+
+
+def test_edit_distance_pairs_empty_and_dup_terms(spark):
+    """Empty strings and duplicate input rows neither crash the
+    sequence() variant generator nor produce self-pairs."""
+    out = dedup.edit_distance_pairs(
+        _terms(spark, ["", "", "a", "a", "b"]), "term"
+    ).collect()
+    got = {(r.term_a, r.term_b): r.dist for r in out}
+    assert got == {("", "a"): 1, ("", "b"): 1, ("a", "b"): 1}
