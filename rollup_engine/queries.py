@@ -502,6 +502,23 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free 80/10/10 train/val/test split at conversation
+    granularity (round-5): assignment is a pure map-side function of
+    md5(conv_id) so it is identical at any parallelism and on re-runs
+    (see sampling.grouped_split); the gate aggregates per-split conv /
+    turn / latency totals, which the oracle reproduces bit for bit."""
+    from .sampling import grouped_split
+
+    d = _deltas(spark, sf_dir).select("conv_id", "delta_ms")
+    s = grouped_split(d, "conv_id", {"train": 80, "val": 10, "test": 10})
+    return s.groupBy("split").agg(
+        F.count_distinct("conv_id").alias("conv_count"),
+        F.count("delta_ms").alias("turn_count"),
+        F.sum("delta_ms").cast("long").alias("lat_sum_ms"),
+    )
+
+
 def q_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day overlay of the hour tier (round-5): each hour
     bucket joined to the bucket 24 h earlier (a shifted-key LEFT
@@ -823,6 +840,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lttb_downsample": q_lttb_downsample,
     "cusum_drift": q_cusum_drift,
     "changepoint": q_changepoint,
+    "grouped_split": q_grouped_split,
     "day_over_day": q_day_over_day,
     "time_weighted_avg": q_time_weighted_avg,
     "ohlc_minute": q_ohlc_minute,
@@ -932,6 +950,7 @@ _DRIVER_OVERFLOW = [
     "cusum_drift",
     "changepoint",
     "typo_pairs",
+    "grouped_split",
     "day_over_day",
     "histogram_quantile",
     "seasonal_baseline",
@@ -1345,6 +1364,23 @@ SELECT conv_id, turn_idx AS change_at, k AS split_k, n,
        ps / k AS mean_left,
        (tot - ps) / (n - k) AS mean_right
 FROM pick WHERE rn = 1"""
+
+# Grouped split: the md5 residue is bit-identical cross-engine
+# (dedup.md5_long ≡ ('0x'||substr(md5,1,15))::BIGINT); bands by
+# cumulative residue, HUGEINT sum collapsed with a CAST.
+ORACLES["grouped_split"] = f"""{_DELTAS_CTE},
+a AS (
+    SELECT conv_id, delta_ms,
+        ('0x' || substr(md5('split' || CAST(conv_id AS VARCHAR)), 1, 15))::BIGINT
+            % 100 AS r
+    FROM d)
+SELECT CASE WHEN r < 80 THEN 'train'
+            WHEN r < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(DISTINCT conv_id) AS conv_count,
+       COUNT(delta_ms) AS turn_count,
+       CAST(SUM(delta_ms) AS BIGINT) AS lat_sum_ms
+FROM a GROUP BY 1"""
 
 # Day-over-day: shifted-bucket LEFT self-join over the hour tier;
 # ratio = BIGINT/BIGINT → DOUBLE in both engines.

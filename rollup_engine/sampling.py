@@ -28,3 +28,43 @@ def deterministic_sample(
         raise ValueError("rate_pct must be in [0, 100]")
     h = md5_long(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     return df.where(F.pmod(h, F.lit(100)) < rate_pct)
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    splits: dict[str, int],
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-free train/validation/test assignment: EVERY row of a
+    group lands in the same split, decided by md5(salt ‖ group) mod 100
+    against cumulative percentage bands.  The group is the leakage
+    unit (conversation, document cluster, user) — a row-level split
+    would leak near-identical rows of one conversation across the
+    train/test boundary, the classic contamination bug a training
+    pipeline must rule out by construction.
+
+    Pure map-side (no shuffle, no join, no state): the assignment is a
+    deterministic function of the group key alone, so it is identical
+    at any parallelism, on re-runs, and on late-arriving rows of a
+    known group — and the DuckDB oracle reproduces it bit for bit
+    (md5-derived hash, dedup.md5_long).
+
+    ``splits`` maps name → percentage, summing to 100; bands are
+    assigned in the given order (dict order is significant and part of
+    the contract: {"train": 80, "val": 10, "test": 10} puts residues
+    [0,80) / [80,90) / [90,100)).  Adds a ``split`` column.
+    """
+    if sum(splits.values()) != 100 or any(v <= 0 for v in splits.values()):
+        raise ValueError("split percentages must be positive and sum to 100")
+    h = F.pmod(
+        md5_long(F.concat(F.lit(salt), F.col(group_col).cast("string"))),
+        F.lit(100),
+    )
+    expr = None
+    lo = 0
+    for name, pct in splits.items():
+        cond = h < F.lit(lo + pct)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo += pct
+    return df.withColumn("split", expr)

@@ -797,3 +797,62 @@ def test_edit_distance_pairs_empty_and_dup_terms(spark):
     ).collect()
     got = {(r.term_a, r.term_b): r.dist for r in out}
     assert got == {("", "a"): 1, ("", "b"): 1, ("a", "b"): 1}
+
+
+def test_grouped_split_leakage_free_and_stable(spark):
+    """Every group lands in exactly one split; percentages roughly
+    honored; assignment identical under repartitioning (map-side
+    determinism — the property df.sample lacks)."""
+    from rollup_engine.sampling import grouped_split
+
+    rows = [(f"g{i}", j) for i in range(200) for j in range(3)]
+    df = spark.createDataFrame(rows, "grp string, x int")
+    out = grouped_split(df, "grp", {"train": 80, "val": 10, "test": 10})
+    per_group = (
+        out.groupBy("grp").agg(F.count_distinct("split").alias("k")).collect()
+    )
+    assert all(r.k == 1 for r in per_group)
+    counts = {
+        r.split: r.n
+        for r in out.select("grp", "split")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    again = {
+        (r.grp, r.split)
+        for r in grouped_split(
+            df.repartition(17, "x"), "grp", {"train": 80, "val": 10, "test": 10}
+        )
+        .select("grp", "split")
+        .distinct()
+        .collect()
+    }
+    assert again == {
+        (r.grp, r.split) for r in out.select("grp", "split").distinct().collect()
+    }
+
+
+def test_grouped_split_validates_percentages(spark):
+    from rollup_engine.sampling import grouped_split
+
+    df = spark.createDataFrame([("a", 1)], "grp string, x int")
+    with pytest.raises(ValueError):
+        grouped_split(df, "grp", {"train": 80, "test": 10})
+    with pytest.raises(ValueError):
+        grouped_split(df, "grp", {"train": 110, "test": -10})
+
+
+def test_grouped_split_no_shuffle(spark):
+    """The assignment must be pure map-side: no Exchange in the plan."""
+    from rollup_engine.sampling import grouped_split
+
+    df = spark.createDataFrame([("a", 1)], "grp string, x int")
+    out = grouped_split(df, "grp", {"train": 50, "test": 50})
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
