@@ -502,6 +502,23 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional CUBE rollup (round-5): all four grouping sets
+    of (role, day) in ONE pass — Catalyst expands the cube into a
+    single Expand + partial/final hash aggregate (one shuffle, 4× the
+    group rows, never 4 scans), the OLAP grouping-sets surface the
+    reference's single global group lacks.  grouping() bits disambiguate
+    aggregate rows from genuine NULL dimension values."""
+    d = _deltas(spark, sf_dir).withColumn("day", F.date_trunc("day", F.col("ts")))
+    return d.cube("role", "day").agg(
+        F.count("delta_ms").alias("turn_count"),
+        F.sum("delta_ms").cast("long").alias("lat_sum_ms"),
+        F.min("delta_ms").alias("lat_min_ms"),
+        F.max("delta_ms").alias("lat_max_ms"),
+        (F.grouping("role") * 2 + F.grouping("day")).cast("int").alias("gid"),
+    )
+
+
 def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free 80/10/10 train/val/test split at conversation
     granularity (round-5): assignment is a pure map-side function of
@@ -841,6 +858,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_drift": q_cusum_drift,
     "changepoint": q_changepoint,
     "grouped_split": q_grouped_split,
+    "cube_rollup": q_cube_rollup,
     "day_over_day": q_day_over_day,
     "time_weighted_avg": q_time_weighted_avg,
     "ohlc_minute": q_ohlc_minute,
@@ -951,6 +969,7 @@ _DRIVER_OVERFLOW = [
     "changepoint",
     "typo_pairs",
     "grouped_split",
+    "cube_rollup",
     "day_over_day",
     "histogram_quantile",
     "seasonal_baseline",
@@ -1364,6 +1383,18 @@ SELECT conv_id, turn_idx AS change_at, k AS split_k, n,
        ps / k AS mean_left,
        (tot - ps) / (n - k) AS mean_right
 FROM pick WHERE rn = 1"""
+
+# CUBE: DuckDB expands GROUP BY CUBE identically; GROUPING() bits and
+# the HUGEINT sum collapsed with CASTs.
+ORACLES["cube_rollup"] = f"""{_DELTAS_CTE}
+SELECT role, date_trunc('day', ts) AS day,
+       COUNT(delta_ms) AS turn_count,
+       CAST(SUM(delta_ms) AS BIGINT) AS lat_sum_ms,
+       MIN(delta_ms) AS lat_min_ms,
+       MAX(delta_ms) AS lat_max_ms,
+       CAST(GROUPING(role) * 2 + GROUPING(date_trunc('day', ts)) AS INTEGER)
+           AS gid
+FROM d GROUP BY CUBE (role, date_trunc('day', ts))"""
 
 # Grouped split: the md5 residue is bit-identical cross-engine
 # (dedup.md5_long ≡ ('0x'||substr(md5,1,15))::BIGINT); bands by

@@ -207,3 +207,32 @@ def test_hist_rollup_no_python_no_lineage_truncation(spark):
     for marker in ("FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython",
                    "Scan ExistingRDD"):
         assert marker not in plan, f"unexpected {marker} in hist plan"
+
+
+def test_cube_rollup_single_expand_single_exchange(spark):
+    """CUBE(role, day) must compile to ONE Expand feeding a partial +
+    final hash aggregate around ONE exchange — all four grouping sets
+    in a single scan, never a union of per-set scans."""
+    import re
+
+    d = with_deltas(from_events(spark, SF)).withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    out = d.cube("role", "day").agg(
+        F.count("delta_ms").alias("turn_count"),
+        (F.grouping("role") * 2 + F.grouping("day")).cast("int").alias("gid"),
+    )
+    plan = _plan(out)
+    assert len(re.findall(r"^\(\d+\) Expand", plan, re.M)) == 1, plan
+    # exchanges: two for the transcript windows (row_number, lag) plus
+    # exactly ONE for the cube aggregation
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 3, plan
+    # final agg ← exchange ← partial agg ← expand, adjacent in the tree
+    simple = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert re.search(
+        r"HashAggregate[^\n]*\n[^\n]*Exchange[^\n]*\n[^\n]*HashAggregate"
+        r"[^\n]*\n[^\n]*Expand",
+        simple,
+    ), simple
