@@ -502,6 +502,20 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted p50/p90 latency per (conversation, hour)
+    (round-5): smallest value whose cumulative holding time reaches q%
+    of the bucket's observed time — pure integer selection over the
+    shared hold-segment kernel (see tsops.time_weighted_percentile)."""
+    from .tsops import time_weighted_percentile
+
+    d = _deltas(spark, sf_dir).select("conv_id", "turn_idx", "ts", "delta_ms")
+    return time_weighted_percentile(
+        d, "delta_ms", qs=(50, 90), bucket="hour", by=["conv_id"],
+        order_tiebreak="turn_idx",
+    )
+
+
 def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dimensional CUBE rollup (round-5): all four grouping sets
     of (role, day) in ONE pass — Catalyst expands the cube into a
@@ -859,6 +873,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "changepoint": q_changepoint,
     "grouped_split": q_grouped_split,
     "cube_rollup": q_cube_rollup,
+    "time_weighted_percentile": q_time_weighted_percentile,
     "day_over_day": q_day_over_day,
     "time_weighted_avg": q_time_weighted_avg,
     "ohlc_minute": q_ohlc_minute,
@@ -970,6 +985,7 @@ _DRIVER_OVERFLOW = [
     "typo_pairs",
     "grouped_split",
     "cube_rollup",
+    "time_weighted_percentile",
     "day_over_day",
     "histogram_quantile",
     "seasonal_baseline",
@@ -1492,6 +1508,40 @@ SELECT conv_id, bucket_start,
        COUNT(*) AS obs_count,
        CAST(SUM(w) AS BIGINT) AS obs_weight_us
 FROM s GROUP BY conv_id, bucket_start"""
+
+# Time-weighted percentile: the identical hold segments as the twa
+# oracle, then a RANGE-frame cumulative weight ordered by value (ties
+# share one cum — DuckDB's default frame) and the integer selection
+# rule cw·100 ≥ q·W.  No float anywhere.
+ORACLES["time_weighted_percentile"] = f"""{_DELTAS_CTE},
+o AS (SELECT conv_id, turn_idx, ts, delta_ms FROM d
+      WHERE delta_ms IS NOT NULL),
+s AS (
+    SELECT conv_id,
+           date_trunc('hour', ts) AS bucket_start,
+           delta_ms AS v,
+           LEAST(
+               COALESCE(
+                   LEAD(epoch_us(ts)) OVER
+                       (PARTITION BY conv_id ORDER BY ts, turn_idx),
+                   epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)),
+               epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR))
+           - epoch_us(ts) AS w
+    FROM o),
+c AS (
+    SELECT conv_id, bucket_start, v,
+           CAST(SUM(w) OVER (PARTITION BY conv_id, bucket_start ORDER BY v
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cw,
+           CAST(SUM(w) OVER (PARTITION BY conv_id, bucket_start) AS BIGINT)
+               AS tw
+    FROM s)
+SELECT conv_id, bucket_start,
+       MIN(CASE WHEN cw * 100 >= 50 * tw THEN v END) AS p50_tw,
+       MIN(CASE WHEN cw * 100 >= 90 * tw THEN v END) AS p90_tw,
+       COUNT(*) AS obs_count,
+       MAX(tw) AS obs_weight_us
+FROM c GROUP BY 1, 2"""
 
 # OHLC: arg_min/arg_max on the same zero-padded total-order string the
 # Spark side builds with format_string — lexicographic == numeric.

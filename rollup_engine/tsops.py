@@ -288,6 +288,35 @@ def ewma(
     return df.withColumn("ewma", F.when(den > 0, quot))
 
 
+def _hold_segments(
+    df: DataFrame,
+    value_col: str,
+    bucket: str,
+    by: Sequence[str],
+    ts_col: str,
+    order_tiebreak: str | None,
+) -> DataFrame:
+    """(by…, bucket_start, _v, _w): each observation's integral value
+    and its exact µs holding duration — from its timestamp to the
+    key's next observation, clamped to the end of its own bucket.
+    Shared kernel of time_weighted_avg / time_weighted_percentile."""
+    order_cols = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    w_next = Window.partitionBy(*list(by)).orderBy(*order_cols)
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket_start = F.date_trunc(bucket, F.col(ts_col))
+    bucket_end_us = F.unix_micros(
+        (bucket_start + F.expr(f"INTERVAL 1 {bucket}")).cast("timestamp")
+    )
+    nxt = F.lead(t).over(w_next)
+    weight = F.least(F.coalesce(nxt, bucket_end_us), bucket_end_us) - t
+    return df.where(F.col(value_col).isNotNull()).select(
+        *list(by),
+        bucket_start.alias("bucket_start"),
+        F.col(value_col).cast("long").alias("_v"),
+        weight.alias("_w"),
+    )
+
+
 def time_weighted_avg(
     df: DataFrame,
     value_col: str,
@@ -317,21 +346,7 @@ def time_weighted_avg(
     One exchange on the key (the lead window), one on the group —
     same shape as the delta extraction + rollup pair.
     """
-    order_cols = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
-    w_next = Window.partitionBy(*list(by)).orderBy(*order_cols)
-    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    bucket_start = F.date_trunc(bucket, F.col(ts_col))
-    bucket_end_us = F.unix_micros(
-        (bucket_start + F.expr(f"INTERVAL 1 {bucket}")).cast("timestamp")
-    )
-    nxt = F.lead(t).over(w_next)
-    weight = F.least(F.coalesce(nxt, bucket_end_us), bucket_end_us) - t
-    seg = df.where(F.col(value_col).isNotNull()).select(
-        *list(by),
-        bucket_start.alias("bucket_start"),
-        F.col(value_col).cast("long").alias("_v"),
-        weight.alias("_w"),
-    )
+    seg = _hold_segments(df, value_col, bucket, by, ts_col, order_tiebreak)
     vw_sum = F.sum(F.col("_v") * F.col("_w"))
     w_sum = F.sum("_w")
     return seg.groupBy(*list(by), "bucket_start").agg(
@@ -1263,4 +1278,56 @@ def changepoint(
                 "mean_right"
             ),
         )
+    )
+
+
+def time_weighted_percentile(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[int] = (50, 90, 99),
+    bucket: str = "hour",
+    by: Sequence[str] = ("conv_id",),
+    ts_col: str = "ts",
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Duration-weighted nearest-rank percentiles per (key, bucket):
+    the smallest value v whose cumulative holding time reaches q% of
+    the bucket's observed time — "the latency level the system sat at
+    or under for q of its time", the gauge companion of the count-
+    weighted tier percentiles (which overweight bursts of short-lived
+    readings).  Weights are the same exact µs holds as
+    time_weighted_avg (shared ``_hold_segments`` kernel; no cross-
+    bucket carry by design).
+
+    Selection is pure integer arithmetic: v_q = min{v : cumW(v)·100 ≥
+    q·W} with cumW over a RANGE frame ordered by value (ties therefore
+    share one cumulative weight — deterministic under any partitioning
+    and identical to DuckDB's default RANGE frame).  No float appears
+    anywhere, so the gate hash-matches bit for bit.  Bound: W·100 must
+    fit int64 — W ≤ bucket span in µs ⇒ safe through year buckets.
+
+    One exchange for the hold window (on the key), one for the
+    per-(key, bucket) rank window + final aggregate.
+    """
+    keys = list(by)
+    seg = _hold_segments(df, value_col, bucket, keys, ts_col, order_tiebreak)
+    w_cum = (
+        Window.partitionBy(*keys, "bucket_start")
+        .orderBy("_v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys, "bucket_start")
+    t = seg.withColumns(
+        {"_cw": F.sum("_w").over(w_cum), "_tw": F.sum("_w").over(w_all)}
+    )
+    picks = [
+        F.min(
+            F.when(F.col("_cw") * 100 >= int(q) * F.col("_tw"), F.col("_v"))
+        ).alias(f"p{int(q)}_tw")
+        for q in qs
+    ]
+    return t.groupBy(*keys, "bucket_start").agg(
+        *picks,
+        F.count(F.lit(1)).alias("obs_count"),
+        F.max("_tw").alias("obs_weight_us"),
     )

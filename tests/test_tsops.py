@@ -1368,3 +1368,103 @@ def test_changepoint_plan_single_exchange_grouplimit(spark):
     )
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_time_weighted_percentile_pinned(spark):
+    """One conv, one hour: obs at :00 (v=100, holds 10 min), :10
+    (v=200, holds 50 min).  Observed time W=60 min; F(100)=1/6,
+    F(200)=1 → p50 and p90 both 200; p10 = 100."""
+    from rollup_engine.tsops import time_weighted_percentile
+
+    rows = [
+        ("c", 0, _ts("2024-01-01T10:00:00"), 100),
+        ("c", 1, _ts("2024-01-01T10:10:00"), 200),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, delta_ms long"
+    )
+    [r] = time_weighted_percentile(
+        df, "delta_ms", qs=(10, 50, 90), by=["conv_id"], order_tiebreak="turn_idx"
+    ).collect()
+    assert (r.p10_tw, r.p50_tw, r.p90_tw) == (100, 200, 200)
+    assert r.obs_weight_us == 3600 * 1_000_000
+
+
+def test_time_weighted_percentile_vs_count_weighted(spark):
+    """A burst of 9 short-lived low readings + 1 long-held high one:
+    count-p50 says low, time-p50 says high — the gauge semantics this
+    operator exists for."""
+    from rollup_engine.tsops import time_weighted_percentile
+
+    rows = [
+        ("c", i, _ts("2024-01-01T10:00:00") + dt.timedelta(seconds=i), 10)
+        for i in range(9)
+    ]
+    rows.append(("c", 9, _ts("2024-01-01T10:00:09"), 500))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, delta_ms long"
+    )
+    [r] = time_weighted_percentile(
+        df, "delta_ms", qs=(50,), by=["conv_id"], order_tiebreak="turn_idx"
+    ).collect()
+    assert r.p50_tw == 500  # 9 s of 10 vs 3591 s of 500
+
+
+def test_time_weighted_percentile_matches_bruteforce(spark):
+    """Seeded irregular series vs a python reimplementation of the
+    integer selection rule (holds clamped per bucket)."""
+    import numpy as np
+
+    from rollup_engine.tsops import time_weighted_percentile
+
+    rng = np.random.RandomState(17)
+    t0 = _ts("2024-01-01T00:00:00")
+    rows, times = [], {}
+    for conv in ["a", "b"]:
+        t = 0
+        for i in range(80):
+            t += int(rng.randint(1, 900))
+            rows.append((conv, i, t0 + dt.timedelta(seconds=t), int(rng.randint(1, 1000))))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ts timestamp, delta_ms long"
+    )
+    got = {
+        (r.conv_id, r.bucket_start): (r.p50_tw, r.p90_tw, r.obs_weight_us)
+        for r in time_weighted_percentile(
+            df, "delta_ms", qs=(50, 90), by=["conv_id"], order_tiebreak="turn_idx"
+        ).collect()
+    }
+    # python reference
+    from collections import defaultdict
+
+    segs = defaultdict(list)
+    by_conv = defaultdict(list)
+    for conv, i, ts, v in rows:
+        by_conv[conv].append((ts, v))
+    for conv, obs in by_conv.items():
+        obs.sort()
+        for j, (ts, v) in enumerate(obs):
+            bucket = ts.replace(minute=0, second=0, microsecond=0)
+            bucket_end = bucket + dt.timedelta(hours=1)
+            nxt = obs[j + 1][0] if j + 1 < len(obs) else bucket_end
+            w = int((min(nxt, bucket_end) - ts).total_seconds() * 1e6)
+            segs[(conv, bucket)].append((v, w))
+    expect = {}
+    for key, vw in segs.items():
+        vw.sort()
+        W = sum(w for _, w in vw)
+        out = []
+        for q in (50, 90):
+            cum = 0
+            pick = None
+            i = 0
+            while i < len(vw):
+                v = vw[i][0]
+                while i < len(vw) and vw[i][0] == v:
+                    cum += vw[i][1]
+                    i += 1
+                if pick is None and cum * 100 >= q * W:
+                    pick = v
+            out.append(pick)
+        expect[key] = (out[0], out[1], W)
+    assert got == expect
