@@ -926,6 +926,7 @@ from .queries_pipeline import (  # noqa: E402
     q_incremental_minute,
     q_stream_minute,
     q_stream_sessionize,
+    q_stream_alerts,
     q_stream_sliding,
 )
 
@@ -933,6 +934,7 @@ QUERIES.update(DATA_QUERIES)
 QUERIES["stream_minute"] = q_stream_minute
 QUERIES["stream_sessionize"] = q_stream_sessionize
 QUERIES["stream_sliding"] = q_stream_sliding
+QUERIES["stream_alerts"] = q_stream_alerts
 QUERIES["incremental_minute"] = q_incremental_minute
 
 # Driver-budget ordering (round-5).  CORRECTNESS_r04 recorded exactly
@@ -986,6 +988,7 @@ _DRIVER_OVERFLOW = [
     "grouped_split",
     "cube_rollup",
     "time_weighted_percentile",
+    "stream_alerts",
     "day_over_day",
     "histogram_quantile",
     "seasonal_baseline",
@@ -1913,6 +1916,8 @@ p AS (
 SELECT conv_id, turn_idx, delta_ms, state,
        CASE WHEN state = 1 THEN 'rising' ELSE 'clearing' END AS direction
 FROM p WHERE state != prev"""
+# the custom stateful streaming operator answers the batch alert query
+ORACLES["stream_alerts"] = ORACLES["threshold_alerts"]
 
 # Gaps-and-islands over the minute tier: epoch − row_number × width is
 # constant within a contiguous run; one window + one aggregate over the

@@ -224,3 +224,31 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = spark.read.parquet(os.path.join(work, "out"))
     return out.where(F.col("bucket_start") <= F.lit(max_ts))
+
+
+def q_stream_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator == batch hysteresis alerting
+    (oracle reused verbatim): applyInPandasWithState keeps one
+    (last_idx, last_ts, alert bit) row per conversation and emits only
+    transitions (see streaming.stream_threshold_alerts).  No watermark
+    choreography: a transition is final when the turn causing it
+    arrives, so a single availableNow batch suffices."""
+    from .streaming import run_alert_stream_once
+
+    work = _workdir("streamalerts", sf_dir)
+    t = from_events(spark, sf_dir)
+    input_dir = os.path.join(work, "input")
+    t.repartition(4, "conv_id").write.mode("overwrite").parquet(input_dir)
+    n_real = len(
+        [f for f in os.listdir(input_dir) if f.startswith("part-")]
+    )
+    run_alert_stream_once(
+        spark,
+        input_dir,
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "out"),
+        enter=60_000_000,
+        exit=20_000_000,
+        max_files=n_real,
+    )
+    return spark.read.parquet(os.path.join(work, "out"))

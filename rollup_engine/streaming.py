@@ -321,3 +321,138 @@ def run_sliding_stream_once(
         .start()
     )
     q.awaitTermination()
+
+
+# ------------------------------------------------ stateful alerting
+
+_ALERT_OUT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("delta_ms", T.LongType(), True),
+        T.StructField("state", T.LongType(), True),
+        T.StructField("direction", T.StringType(), True),
+    ]
+)
+
+_ALERT_STATE = T.StructType(
+    [
+        T.StructField("last_idx", T.IntegerType(), True),
+        T.StructField("last_us", T.LongType(), True),
+        T.StructField("alert", T.LongType(), True),
+    ]
+)
+
+
+def stream_threshold_alerts(
+    turns: DataFrame, enter: int, exit: int
+) -> DataFrame:
+    """Streaming twin of tsops.threshold_alerts — a CUSTOM stateful
+    operator via ``applyInPandasWithState`` (the alert flip-flop is not
+    expressible as a windowed aggregate): per conversation the state
+    row holds (last turn_idx, last ts µs, alert bit), each microbatch
+    extends the inter-turn delta series from that state, runs the
+    vectorized hysteresis carry (decided states ffill across the
+    [exit, enter) hold band — no per-row Python loop), emits ONLY the
+    state transitions, and checkpoints the final bit.  Bounded state:
+    one fixed-width row per live conversation, the same contract as
+    the delta extractor.  Append mode, no watermark needed — a
+    transition is final the moment the turn that causes it arrives
+    (per-key order within a batch is guaranteed by the sort; across
+    batches by the checkpointed last_idx).
+
+    Emits the batch gate's exact schema (conv_id, turn_idx, delta_ms,
+    state, direction), so the DuckDB oracle is reused verbatim.
+    """
+    if not (enter > exit):
+        raise ValueError("hysteresis needs enter > exit")
+    enter_i, exit_i = int(enter), int(exit)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.exists:
+            last_idx, last_us, alert = state.get
+        else:
+            last_idx, last_us, alert = None, None, 0
+        batches = [p for p in pdfs if not p.empty]
+        if not batches:
+            return
+        pdf = pd.concat(batches).sort_values("turn_idx", kind="stable")
+        pdf = pdf.drop_duplicates(subset=["turn_idx"], keep="first")
+        if last_idx is not None:
+            pdf = pdf[pdf["turn_idx"] > last_idx]
+        if pdf.empty:
+            return
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        prev_us = np.empty_like(ts_us)
+        prev_us[1:] = ts_us[:-1]
+        have_delta = np.ones(len(ts_us), dtype=bool)
+        if last_us is not None:
+            prev_us[0] = last_us
+        else:
+            prev_us[0] = 0
+            have_delta[0] = False  # first-ever turn has no delta
+        delta = (ts_us - prev_us) // 1000
+        raw = np.where(delta >= enter_i, 1, np.where(delta < exit_i, 0, -1))
+        raw = np.where(have_delta, raw, -1)  # no observation holds state
+        s = (
+            pd.Series(raw, dtype="float64")
+            .replace(-1.0, np.nan)
+            .ffill()
+            .fillna(float(alert))
+            .astype("int64")
+            .to_numpy()
+        )
+        prev_state = np.empty_like(s)
+        prev_state[0] = alert
+        prev_state[1:] = s[:-1]
+        trans = s != prev_state
+        state.update((int(pdf["turn_idx"].iloc[-1]), int(ts_us[-1]), int(s[-1])))
+        if not trans.any():
+            return
+        out = pd.DataFrame(
+            {
+                "conv_id": conv_id,
+                "turn_idx": pdf["turn_idx"].to_numpy()[trans],
+                "delta_ms": delta[trans],
+                "state": s[trans],
+                "direction": np.where(s[trans] == 1, "rising", "clearing"),
+            }
+        )
+        yield out
+
+    return (
+        turns.select("conv_id", "turn_idx", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn, _ALERT_OUT, _ALERT_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def run_alert_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    enter: int,
+    exit: int,
+    max_files: int = 64,
+) -> None:
+    """One availableNow alerting pass over the transcript file stream;
+    transitions append to the parquet sink, per-conversation alert
+    state survives in the checkpoint for the next pass (no watermark:
+    transitions are final on arrival)."""
+    turns = read_turn_stream(spark, input_dir, max_files=max_files)
+    alerts = stream_threshold_alerts(turns, enter=enter, exit=exit)
+    q = (
+        alerts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -135,3 +135,64 @@ def test_stream_sessionize_restart_state(spark, tmp_path):
     assert s.session_start == t0
     assert s.session_end == t0 + dt.timedelta(minutes=30)
     assert s.duration_sec == 1800.0
+
+
+def test_stream_alerts_transitions_and_restart(spark, tmp_path):
+    """Hysteresis alert stream: rising at ≥100 ms, clearing below
+    40 ms, hold band [40, 100).  Pass 1 sees deltas 10, 150 (rise),
+    60 (hold).  Pass 2 RESTARTS and continues the conversation: the
+    checkpointed alert bit + last ts must make delta 30 emit a single
+    'clearing' transition — and re-delivered turns must not re-fire."""
+    from rollup_engine.streaming import run_alert_stream_once
+
+    inp = str(tmp_path / "turns")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    _write_batch(spark, inp, _turns("a", "2024-01-01T00:00:00", [10, 150, 60]))
+    run_alert_stream_once(spark, inp, ckpt, out, enter=100, exit=40)
+    got1 = sorted(
+        (r.turn_idx, r.delta_ms, r.state, r.direction)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got1 == [(2, 150, 1, "rising")]
+
+    # continuation: turn 3 ended at 00:00:00.220; turn 4 thirty ms
+    # later clears; turn 5 re-rises.  Also re-deliver turns 2-3 (same
+    # idx) — the checkpointed last_idx must drop them.
+    t3 = dt.datetime(2024, 1, 1, 0, 0, 0, 220_000)
+    cont = [
+        ("a", 2, "user", "x", "", dt.datetime(2024, 1, 1, 0, 0, 0, 160_000)),
+        ("a", 3, "user", "x", "", t3),
+        ("a", 4, "user", "x", "", t3 + dt.timedelta(milliseconds=30)),
+        ("a", 5, "user", "x", "", t3 + dt.timedelta(milliseconds=230)),
+    ]
+    _write_batch(spark, inp, cont)
+    run_alert_stream_once(spark, inp, ckpt, out, enter=100, exit=40)
+    got2 = sorted(
+        (r.turn_idx, r.delta_ms, r.state, r.direction)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got2 == [
+        (2, 150, 1, "rising"),
+        (4, 30, 0, "clearing"),
+        (5, 200, 1, "rising"),
+    ]
+
+
+def test_stream_alerts_first_observation_above(spark, tmp_path):
+    """A conversation whose very first delta is above enter fires
+    rising immediately (prev state defaults to 0), matching the batch
+    operator's first-row contract."""
+    from rollup_engine.streaming import run_alert_stream_once
+
+    inp = str(tmp_path / "turns")
+    _write_batch(spark, inp, _turns("b", "2024-01-01T00:00:00", [500, 10]))
+    run_alert_stream_once(
+        spark, inp, str(tmp_path / "c"), str(tmp_path / "o"), enter=100, exit=40
+    )
+    got = sorted(
+        (r.turn_idx, r.state, r.direction)
+        for r in spark.read.parquet(str(tmp_path / "o")).collect()
+    )
+    assert got == [(1, 1, "rising"), (2, 0, "clearing")]
