@@ -516,6 +516,25 @@ def q_time_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pivot column universe: pinning the value list is the scale-correct
+# form — Spark otherwise runs an eager distinct scan job just to learn
+# the output schema, and an unpinned schema drifts when a new role
+# appears mid-pipeline.
+_PIVOT_ROLES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-table pivot (round-5): one row per day, a (count, latency
+    sum) column pair per role — Catalyst compiles pivot to a single
+    pass of conditional aggregates (one shuffle, no per-role scans),
+    the dashboard/feature-matrix shape."""
+    d = _deltas(spark, sf_dir).withColumn("day", F.date_trunc("day", F.col("ts")))
+    return d.groupBy("day").pivot("role", _PIVOT_ROLES).agg(
+        F.count("delta_ms").alias("cnt"),
+        F.sum("delta_ms").cast("long").alias("sum_ms"),
+    )
+
+
 def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dimensional CUBE rollup (round-5): all four grouping sets
     of (role, day) in ONE pass — Catalyst expands the cube into a
@@ -873,6 +892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "changepoint": q_changepoint,
     "grouped_split": q_grouped_split,
     "cube_rollup": q_cube_rollup,
+    "pivot_roles": q_pivot_roles,
     "time_weighted_percentile": q_time_weighted_percentile,
     "day_over_day": q_day_over_day,
     "time_weighted_avg": q_time_weighted_avg,
@@ -989,6 +1009,8 @@ _DRIVER_OVERFLOW = [
     "cube_rollup",
     "time_weighted_percentile",
     "stream_alerts",
+    "pivot_roles",
+    "vocab_topk",
     "day_over_day",
     "histogram_quantile",
     "seasonal_baseline",
@@ -1402,6 +1424,20 @@ SELECT conv_id, turn_idx AS change_at, k AS split_k, n,
        ps / k AS mean_left,
        (tot - ps) / (n - k) AS mean_right
 FROM pick WHERE rn = 1"""
+
+# Pivot: conditional aggregation with the identical pinned column
+# names; empty (day, role) cells are 0-count / NULL-sum in both
+# engines.  HUGEINT sums collapsed with CASTs.
+_PIVOT_COLS_SQL = ",\n       ".join(
+    f"COUNT(CASE WHEN role = '{r}' THEN delta_ms END) AS {r}_cnt,\n"
+    f"       CAST(SUM(CASE WHEN role = '{r}' THEN delta_ms END) AS BIGINT)"
+    f" AS {r}_sum_ms"
+    for r in _PIVOT_ROLES
+)
+ORACLES["pivot_roles"] = f"""{_DELTAS_CTE}
+SELECT date_trunc('day', ts) AS day,
+       {_PIVOT_COLS_SQL}
+FROM d GROUP BY 1"""
 
 # CUBE: DuckDB expands GROUP BY CUBE identically; GROUPING() bits and
 # the HUGEINT sum collapsed with CASTs.

@@ -261,17 +261,41 @@ def q_embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_pairs_exact(_embs(spark, sf_dir), threshold=0.4)
 
 
-def _vocab_with_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary (lowercased, alpha-only, length ≥ 3) plus the
-    planted typo literals — the universe of the typo_pairs gate."""
-    words = (
+def _corpus_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per word occurrence: lowercased, alpha-only, length ≥ 3."""
+    return (
         _docs(spark, sf_dir)
         .select(F.explode(F.split("text", " ")).alias("w"))
         .select(F.regexp_replace(F.lower("w"), "[^a-z]", "").alias("term"))
         .where(F.length("term") >= 3)
     )
+
+
+def _vocab_with_typos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary plus the planted typo literals — the universe
+    of the typo_pairs gate."""
     planted = spark.createDataFrame([(t,) for t in PLANTED_TYPOS], "term string")
-    return words.unionByName(planted)
+    return _corpus_words(spark, sf_dir).unionByName(planted)
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k by frequency (the vocab-building pass of
+    a tokenizer pipeline): exact occurrence counts — one map-side-
+    combinable hash aggregate over the exploded words — then a
+    deterministic rank (count DESC, term ASC; the tiebreak makes the
+    k-boundary stable) via row_number over the ALREADY-AGGREGATED,
+    vocabulary-bounded relation (the gapfill precedent: never a global
+    sort of the occurrence stream)."""
+    from pyspark.sql import Window
+
+    counts = _corpus_words(spark, sf_dir).groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 25)
+    )
 
 
 def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,6 +359,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pairs": q_embedding_pairs,
     "embedding_pairs_exact": q_embedding_pairs_exact,
     "typo_pairs": q_typo_pairs,
+    "vocab_topk": q_vocab_topk,
     "quality_filter": q_quality_filter,
     "stratified_sample": q_stratified_sample,
     "multimodal_meta": q_multimodal_meta,
@@ -626,6 +651,18 @@ DATA_ORACLES: dict[str, str] = {
            CAST(levenshtein(a.term, b.term) AS INTEGER) AS dist
     FROM v a JOIN v b ON a.term < b.term
     WHERE levenshtein(a.term, b.term) <= 1""",
+    "vocab_topk": r"""
+    WITH w AS (
+        SELECT regexp_replace(lower(unnest(string_split(text, ' '))),
+                              '[^a-z]', '', 'g') AS term
+        FROM documents
+    ), c AS (
+        SELECT term, COUNT(*) AS cnt FROM w WHERE length(term) >= 3
+        GROUP BY term
+    )
+    SELECT term, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank
+    FROM c QUALIFY rank <= 25""",
     "dedup_exact": r"""
     SELECT min(doc_id) AS doc_id,
            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,

@@ -236,3 +236,21 @@ def test_cube_rollup_single_expand_single_exchange(spark):
         r"[^\n]*\n[^\n]*Expand",
         simple,
     ), simple
+
+
+def test_pivot_single_pass(spark):
+    """pivot(role, pinned values) must compile to ONE scan and ONE
+    aggregation exchange (conditional aggregates), not a scan or a
+    shuffle per pivot value."""
+    import re
+
+    d = with_deltas(from_events(spark, SF)).withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    out = d.groupBy("day").pivot("role", ["click", "view"]).agg(
+        F.count("delta_ms").alias("cnt")
+    )
+    plan = _plan(out)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
+    # two transcript-window exchanges + one aggregation exchange
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 3, plan
