@@ -525,9 +525,11 @@ _PIVOT_ROLES = ["click", "error", "purchase", "signup", "view"]
 
 def q_pivot_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-table pivot (round-5): one row per day, a (count, latency
-    sum) column pair per role — Catalyst compiles pivot to a single
-    pass of conditional aggregates (one shuffle, no per-role scans),
-    the dashboard/feature-matrix shape."""
+    sum) column pair per role — Catalyst compiles pivot to ONE data
+    pass: a (day, role) partial+final aggregate, then a pivotfirst
+    aggregate on day (two agg exchanges, constant in the number of
+    pivot values, never a scan per role) — the dashboard /
+    feature-matrix shape."""
     d = _deltas(spark, sf_dir).withColumn("day", F.date_trunc("day", F.col("ts")))
     return d.groupBy("day").pivot("role", _PIVOT_ROLES).agg(
         F.count("delta_ms").alias("cnt"),

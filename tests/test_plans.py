@@ -251,6 +251,10 @@ def test_pivot_single_pass(spark):
         F.count("delta_ms").alias("cnt")
     )
     plan = _plan(out)
-    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1, plan
-    # two transcript-window exchanges + one aggregation exchange
-    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 3, plan
+    scans = len(re.findall(r"FileScan parquet|^\(\d+\) Scan parquet", plan, re.M))
+    assert scans == 1, plan
+    # Catalyst compiles pivot to (day, role) partial+final count, then a
+    # pivotfirst aggregate on day: 2 agg exchanges + 2 transcript-window
+    # exchanges — constant in the number of pivot values, one data pass.
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 4, plan
+    assert "pivotfirst" in plan, plan
