@@ -367,6 +367,35 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with max staleness (round-5): same point-in-time
+    join, but matches older than 6 h are nulled out — the pandas
+    ``merge_asof(tolerance=...)`` contract (a config/feature older
+    than the freshness SLA must NOT silently join).  Same no-join-node
+    kernel; the tolerance is a post-carry null-out, zero extra
+    shuffles."""
+    from .asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.select("event_id", "user_id", "ts")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        left, purchases, by=["user_id"], ts_col="ts",
+        tolerance_seconds=6 * 3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
 def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL-style increase() with counter-reset detection (round-3):
     per-user lag window over the value column, reset ⇒ post-reset value
@@ -911,6 +940,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_distinct": q_sliding_distinct,
     "cohort_retention": q_cohort_retention,
     "asof_join_forward": q_asof_join_forward,
+    "asof_join_tolerance": q_asof_join_tolerance,
     "concurrent_sessions": q_concurrent_sessions,
     "rolling_median": q_rolling_median,
     "funnel_steps": q_funnel_steps,
@@ -1013,6 +1043,7 @@ _DRIVER_OVERFLOW = [
     "stream_alerts",
     "pivot_roles",
     "vocab_topk",
+    "asof_join_tolerance",
     "day_over_day",
     "histogram_quantile",
     "seasonal_baseline",
@@ -1280,6 +1311,26 @@ SELECT e.event_id, e.user_id, e.ts,
        p.ts AS purchase_ts, p.purchase_value
 FROM events e ASOF LEFT JOIN p
     ON e.user_id = p.user_id AND e.ts >= p.ts"""
+
+# tolerance variant: native ASOF JOIN, then a CASE null-out of matches
+# staler than the SLA — the same post-carry rule as the Spark side.
+ORACLES["asof_join_tolerance"] = """
+WITH p AS (
+    SELECT user_id, ts, max(value) AS purchase_value
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+j AS (
+    SELECT e.event_id, e.user_id, e.ts,
+           p.ts AS purchase_ts, p.purchase_value
+    FROM events e ASOF LEFT JOIN p
+        ON e.user_id = p.user_id AND e.ts >= p.ts
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN epoch_us(ts) - epoch_us(purchase_ts) <= CAST(6*3600 AS BIGINT)*1000000
+            THEN purchase_ts END AS purchase_ts,
+       CASE WHEN epoch_us(ts) - epoch_us(purchase_ts) <= CAST(6*3600 AS BIGINT)*1000000
+            THEN purchase_value END AS purchase_value
+FROM j"""
 
 ORACLES["counter_rate"] = """
 WITH d AS (
