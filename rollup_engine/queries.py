@@ -178,6 +178,31 @@ def q_rollup_day_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cascade(cascade(minute, "hour"), "day").select(*_STD_COLS)
 
 
+def q_rollup_month_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-tier retention: minute→hour→day→month TRIPLE cascade
+    (all-JVM hist engine) vs a direct month rollup oracle.  Months are
+    variable-length, so this tier exists only as a date_trunc cascade of
+    the day tier — Spark ``window()`` durations cannot express it.  At
+    10^12 turns this is the cold-storage tier: it re-aggregates ~30 day
+    rows per month bucket and never touches raw data."""
+    from .hist_rollup import hist_cascade, hist_rollup
+
+    minute = hist_rollup(_deltas(spark, sf_dir), "minute")
+    day = hist_cascade(hist_cascade(minute, "hour"), "day")
+    return hist_cascade(day, "month").select(*_STD_COLS)
+
+
+def q_rollup_week_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-week calendar tier: day→week cascade vs a direct week rollup
+    oracle (Spark and DuckDB both truncate to Monday).  More buckets
+    than the month tier at test scale, so this is the falsifiability
+    companion of rollup_month_cascade."""
+    from .hist_rollup import hist_cascade, hist_rollup
+
+    day = hist_rollup(_deltas(spark, sf_dir), "day")
+    return hist_cascade(day, "week").select(*_STD_COLS)
+
+
 def q_rollup_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed breakdown: hour rollup per role (grouping-key extension the
     reference lacks entirely — it has exactly one global group)."""
@@ -968,6 +993,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_sketch_minute": q_rollup_sketch_minute,
     "rollup_hour_cascade": q_rollup_hour_cascade,
     "rollup_day_cascade": q_rollup_day_cascade,
+    "rollup_month_cascade": q_rollup_month_cascade,
+    "rollup_week_cascade": q_rollup_week_cascade,
     "rollup_salted": q_rollup_salted,
     "rollup_by_role": q_rollup_by_role,
     "rollup_by_role_hist": q_rollup_by_role_hist,
@@ -976,6 +1003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 from .queries_data import DATA_ORACLES, DATA_QUERIES  # noqa: E402
 from .queries_pipeline import (  # noqa: E402
     q_incremental_minute,
+    q_realtime_rollup,
     q_stream_minute,
     q_stream_sessionize,
     q_stream_alerts,
@@ -988,6 +1016,7 @@ QUERIES["stream_sessionize"] = q_stream_sessionize
 QUERIES["stream_sliding"] = q_stream_sliding
 QUERIES["stream_alerts"] = q_stream_alerts
 QUERIES["incremental_minute"] = q_incremental_minute
+QUERIES["realtime_rollup"] = q_realtime_rollup
 
 # Driver-budget ordering (round-5).  CORRECTNESS_r04 recorded exactly
 # the FIRST 50 registry entries in iteration order and silently dropped
@@ -1262,6 +1291,9 @@ ORACLES: dict[str, str] = {
     "rollup_sketch_minute": _rollup_tier_sql("minute"),
     "rollup_hour_cascade": _rollup_tier_sql("hour"),
     "rollup_day_cascade": _rollup_tier_sql("day"),
+    "rollup_month_cascade": _rollup_tier_sql("month"),
+    "rollup_week_cascade": _rollup_tier_sql("week"),
+    "realtime_rollup": _rollup_tier_sql("minute"),
     "rollup_salted": _rollup_tier_sql("hour"),
     "rollup_by_role": f"""{_DELTAS_CTE}
     SELECT 'hour' AS tier, date_trunc('hour', ts) AS bucket_start, role,

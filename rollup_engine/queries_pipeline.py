@@ -252,3 +252,40 @@ def q_stream_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files=n_real,
     )
     return spark.read.parquet(os.path.join(work, "out"))
+
+
+def q_realtime_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time continuous aggregate == one-shot batch rollup (oracle:
+    the direct minute-tier SQL).  Materializes the minute tier for
+    everything before the last full hour (day-partitioned parquet under
+    .gatework/), then serves cold-materialized ∪ hot-raw-tail through
+    realtime.realtime_rollup — the driver thereby verifies the
+    cross-boundary delta seeding and the no-overlap bucket split."""
+    from .deltas import with_deltas
+    from .hist_rollup import hist_rollup
+    from .realtime import materialize_tier, realtime_rollup
+
+    work = _workdir("realtime", sf_dir)
+    t = from_events(spark, sf_dir)
+    max_ts = t.agg(F.max("ts")).first()[0]
+    split = max_ts.replace(minute=0, second=0, microsecond=0)
+    tier_path = os.path.join(work, "minute_tier")
+    materialize_tier(
+        hist_rollup(with_deltas(t.where(F.col("ts") < F.lit(split))), "minute"),
+        tier_path,
+    )
+    out = realtime_rollup(spark, tier_path, t, "minute", split)
+    return out.select(
+        "tier",
+        "bucket_start",
+        "turn_count",
+        "lat_min_ms",
+        "lat_max_ms",
+        "lat_avg_ms",
+        "lat_p50_ms",
+        "lat_p90_ms",
+        "lat_p99_ms",
+        "lat_sum_ms",
+        "err4xx_rate",
+        "err5xx_rate",
+    )

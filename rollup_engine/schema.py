@@ -67,4 +67,11 @@ TIERS: dict[str, Tier] = {
     "minute": Tier("minute", "1 minute", "minute", retention_buckets=7 * 24 * 60),
     "hour": Tier("hour", "1 hour", "hour", retention_buckets=90 * 24),
     "day": Tier("day", "1 day", "day", retention_buckets=None),
+    # Calendar tiers: variable-length buckets, so they only exist as
+    # cascades of the day tier (date_trunc-based — never Spark window(),
+    # whose fixed durations cannot express calendar months).  Spark and
+    # DuckDB agree on both truncations (ISO Monday week start; first of
+    # month), so the oracle gate is exact.
+    "week": Tier("week", "7 days", "week", retention_buckets=None),
+    "month": Tier("month", "1 month", "month", retention_buckets=None),
 }

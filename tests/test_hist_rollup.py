@@ -301,3 +301,21 @@ def test_hist_sliding_degenerate_is_tumbling(spark):
     a.index = pd.to_datetime(a.index)
     b.index = pd.to_datetime(b.index)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_calendar_tier_cascade_exact(spark):
+    """Week/month calendar tiers (variable-length buckets — date_trunc
+    only, no window()): the day→week and day→month cascades must equal
+    direct calendar-tier rollups of the raw deltas, and week buckets
+    must land on Mondays / month buckets on the 1st."""
+    d = _deltas(spark)
+    day = hist_rollup(d, "day")
+    for tier, dow_check in [("week", True), ("month", False)]:
+        got = _pdf(hist_cascade(day, tier))
+        want = _pdf(hist_rollup(d, tier))
+        pd.testing.assert_frame_equal(want, got, check_dtype=False)
+        for b in got.index:
+            if dow_check:
+                assert b.weekday() == 0, f"week bucket {b} not a Monday"
+            else:
+                assert b.day == 1, f"month bucket {b} not the 1st"
