@@ -638,6 +638,16 @@ def q_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return period_over_period(h, ["turn_count"], period="1 day")
 
 
+def q_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAA+SAX symbolic downsampling (equi-depth variant — see
+    tsops.sax_words): each user's hourly value profile becomes one
+    4-letter-alphabet word; gate hashes the exact words."""
+    from .tsops import sax_words
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sax_words(ev, "value", by=["user_id"], bucket="hour")
+
+
 def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parallel LTTB downsampling (round-5): per-minute representative
     latency point maximizing the triangle area with the neighboring
@@ -944,6 +954,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma_latency": q_ewma_latency,
     "interval_join": q_interval_join,
     "lttb_downsample": q_lttb_downsample,
+    "sax_words": q_sax_words,
     "cusum_drift": q_cusum_drift,
     "changepoint": q_changepoint,
     "grouped_split": q_grouped_split,
@@ -1294,6 +1305,21 @@ ORACLES: dict[str, str] = {
     "rollup_month_cascade": _rollup_tier_sql("month"),
     "rollup_week_cascade": _rollup_tier_sql("week"),
     "realtime_rollup": _rollup_tier_sql("minute"),
+    "sax_words": """
+    WITH paa AS (
+        SELECT user_id, date_trunc('hour', ts) AS b,
+               SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS s,
+               COUNT(*) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), sym AS (
+        SELECT user_id, b,
+               NTILE(4) OVER (PARTITION BY user_id
+                   ORDER BY CAST(s AS DOUBLE) / CAST(c AS DOUBLE), b) - 1 AS sy
+        FROM paa
+    )
+    SELECT user_id, COUNT(*) AS n_buckets,
+           string_agg(chr(CAST(97 + sy AS INTEGER)), '' ORDER BY b) AS word
+    FROM sym GROUP BY user_id""",
     "rollup_salted": _rollup_tier_sql("hour"),
     "rollup_by_role": f"""{_DELTAS_CTE}
     SELECT 'hour' AS tier, date_trunc('hour', ts) AS bucket_start, role,

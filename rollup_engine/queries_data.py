@@ -310,6 +310,18 @@ def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory frequent-items (batched Misra-Gries candidates +
+    exact verify) over event user_ids at theta = 1/125: the 150-key
+    space exceeds the m = 126 counter budget, so the per-partition
+    truncation step actually fires, and the exact-recount phase must
+    still reproduce the exact SQL answer."""
+    from .heavyhitters import heavy_hitters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return heavy_hitters(ev, "user_id", 1, 125)
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-set selection composition: exact-dedup survivors that
     clear a quality threshold in the target language — the canonical
@@ -360,6 +372,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pairs_exact": q_embedding_pairs_exact,
     "typo_pairs": q_typo_pairs,
     "vocab_topk": q_vocab_topk,
+    "heavy_hitters": q_heavy_hitters,
     "quality_filter": q_quality_filter,
     "stratified_sample": q_stratified_sample,
     "multimodal_meta": q_multimodal_meta,
@@ -651,6 +664,13 @@ DATA_ORACLES: dict[str, str] = {
            CAST(levenshtein(a.term, b.term) AS INTEGER) AS dist
     FROM v a JOIN v b ON a.term < b.term
     WHERE levenshtein(a.term, b.term) <= 1""",
+    "heavy_hitters": """
+    WITH c AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS cnt
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ), n AS (SELECT SUM(cnt) AS total FROM c)
+    SELECT user_id, cnt, CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+    FROM c, n WHERE cnt * 125 >= 1 * total""",
     "vocab_topk": r"""
     WITH w AS (
         SELECT regexp_replace(lower(unnest(string_split(text, ' '))),

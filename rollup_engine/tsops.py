@@ -1331,3 +1331,78 @@ def time_weighted_percentile(
         F.count(F.lit(1)).alias("obs_count"),
         F.max("_tw").alias("obs_weight_us"),
     )
+
+
+def sax_words(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    alphabet: int = 4,
+) -> DataFrame:
+    """PAA + SAX symbolic downsampling: per key, reduce a raw series to
+    one short string — Piecewise Aggregate Approximation (per-bucket
+    mean) quantized to an ``alphabet``-letter symbol, concatenated in
+    time order.  The classic index/motif/anomaly primitive (Lin et al.,
+    "A Symbolic Representation of Time Series", DMKD 2003): at 10^12
+    turns a conversation's whole latency profile becomes ~dozens of
+    bytes, joinable and groupable like any token.
+
+    **Equi-depth variant, deliberately.** Canonical SAX quantizes
+    z-scores against Gaussian breakpoints; z-scores need σ, and σ needs
+    a float sqrt whose interaction with breakpoint comparisons is not
+    bit-reproducible across engines (the hazard the ewma/zscore
+    docstrings document).  Ranking is: symbol = NTILE(alphabet) of the
+    bucket means within each key — exactly as distribution-adaptive,
+    and every comparison reduces to one correctly-rounded long→double
+    cast + one IEEE division + a total-order tiebreak (mean, bucket),
+    so the gate hash-matches bit for bit.
+
+    Values scale to exact integer µ-units (FLOOR(v·1e6) — floor, not
+    cast, because Spark truncates and DuckDB rounds on double→bigint
+    casts); the PAA mean is then the exact rational s/c.
+
+    Shape: one map-combinable hash aggregate (keys, bucket) over raw,
+    then an NTILE window and the word collapse both partitioned by the
+    ALREADY-AGGREGATED keys — per-key state is #buckets, calendar-
+    bounded, never raw-row-sized.
+    """
+    if not 2 <= alphabet <= 26:
+        raise ValueError("alphabet must be in [2, 26]")
+    keys = list(by)
+    paa = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            *keys,
+            F.date_trunc(bucket, F.col(ts_col).cast("timestamp")).alias(
+                "bucket_start"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col(value_col) * F.lit(1_000_000)).cast("long")
+            ).alias("_s"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys] or [F.lit(1)]).orderBy(
+        (F.col("_s").cast("double") / F.col("_c").cast("double")).asc(),
+        F.col("bucket_start").asc(),
+    )
+    sym = paa.withColumn("_sym", F.ntile(alphabet).over(w) - 1)
+    return (
+        sym.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("bucket_start", "_sym"))
+                    ),
+                    lambda x: F.char(x["_sym"] + 97),
+                ),
+                "",
+            ).alias("word"),
+        )
+    )

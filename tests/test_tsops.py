@@ -1468,3 +1468,32 @@ def test_time_weighted_percentile_matches_bruteforce(spark):
             out.append(pick)
         expect[key] = (out[0], out[1], W)
     assert got == expect
+
+
+def test_sax_words_pinned(spark):
+    """4 hourly buckets per key with strictly increasing means →
+    word 'abcd'; a reversed key → 'dcba'; symbol ranks are per-key."""
+    import pytest
+    from rollup_engine.tsops import sax_words
+
+    rows = []
+    for h, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+        rows.append(("up", dt.datetime(2024, 1, 1, h), v))
+        rows.append(("down", dt.datetime(2024, 1, 1, h), 5.0 - v))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    got = {
+        r["k"]: r["word"]
+        for r in sax_words(df, "value", by=["k"], bucket="hour").collect()
+    }
+    assert got == {"up": "abcd", "down": "dcba"}
+
+    re = {
+        r["k"]: r["word"]
+        for r in sax_words(
+            df.repartition(7, "value"), "value", by=["k"], bucket="hour"
+        ).collect()
+    }
+    assert re == got
+
+    with pytest.raises(ValueError):
+        sax_words(df, "value", by=["k"], alphabet=27)
