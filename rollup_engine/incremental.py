@@ -242,3 +242,43 @@ class IncrementalRollup:
                     v = int(d[len(prefix) :])
                     if v < keep_version:
                         shutil.rmtree(full, ignore_errors=True)
+
+
+def rollup_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: tuple[str, ...] = ("bucket_start",),
+    metric: str = "turn_count",
+) -> DataFrame:
+    """Snapshot-to-snapshot tier diff: which buckets a refresh touched,
+    and how.  The audit companion of ``IncrementalRollup.refresh`` —
+    its touched-bucket merge asserts *only these buckets may change*;
+    this operator lets a pipeline verify that claim between any two
+    materialized tier versions (or alert on unexpected backfill).
+
+    One full-outer shuffle join on the bucket keys over two
+    ALREADY-AGGREGATED tier relations (calendar-bounded — minute tier:
+    ~526k rows/year, nothing like raw scale), emitting only rows whose
+    ``metric`` differs: status ∈ {added, removed, changed} plus the
+    old/new values and the delta.  Unchanged buckets (the overwhelming
+    majority at any real refresh cadence) are filtered before the
+    result materializes.
+    """
+    kcols = list(keys)
+    o = old.select(*kcols, F.col(metric).alias("old_" + metric))
+    n = new.select(*kcols, F.col(metric).alias("new_" + metric))
+    j = o.join(n, kcols, "full_outer")
+    oldc, newc = F.col("old_" + metric), F.col("new_" + metric)
+    return (
+        j.withColumn(
+            "status",
+            F.when(oldc.isNull(), F.lit("added"))
+            .when(newc.isNull(), F.lit("removed"))
+            .when(oldc != newc, F.lit("changed")),
+        )
+        .where(F.col("status").isNotNull())
+        .withColumn(
+            "delta_" + metric,
+            F.coalesce(newc, F.lit(0)) - F.coalesce(oldc, F.lit(0)),
+        )
+    )

@@ -638,6 +638,25 @@ def q_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return period_over_period(h, ["turn_count"], period="1 day")
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier diff between two snapshots (old = turns before Jan 16, new
+    = all): exactly the buckets the second half touched, with status
+    added/removed/changed + the count delta — the refresh-audit
+    operator (incremental.rollup_diff)."""
+    from .incremental import rollup_diff
+    from .rollup import rollup
+
+    t = from_events(spark, sf_dir)
+    old = rollup(
+        with_deltas(t.where("ts < timestamp'2024-01-16 00:00:00'")), "hour"
+    )
+    new = rollup(with_deltas(t), "hour")
+    return rollup_diff(old, new).select(
+        "bucket_start", "old_turn_count", "new_turn_count",
+        "status", "delta_turn_count",
+    )
+
+
 def q_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PAA+SAX symbolic downsampling (equi-depth variant — see
     tsops.sax_words): each user's hourly value profile becomes one
@@ -955,6 +974,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join": q_interval_join,
     "lttb_downsample": q_lttb_downsample,
     "sax_words": q_sax_words,
+    "snapshot_diff": q_snapshot_diff,
     "cusum_drift": q_cusum_drift,
     "changepoint": q_changepoint,
     "grouped_split": q_grouped_split,
@@ -1305,6 +1325,29 @@ ORACLES: dict[str, str] = {
     "rollup_month_cascade": _rollup_tier_sql("month"),
     "rollup_week_cascade": _rollup_tier_sql("week"),
     "realtime_rollup": _rollup_tier_sql("minute"),
+    "snapshot_diff": f"""{_DELTAS_CTE},
+    old_r AS (
+        SELECT date_trunc('hour', ts) AS bucket_start,
+               COUNT(delta_ms) AS cnt
+        FROM d WHERE delta_ms IS NOT NULL
+          AND ts < TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY 1
+    ),
+    new_r AS (
+        SELECT date_trunc('hour', ts) AS bucket_start,
+               COUNT(delta_ms) AS cnt
+        FROM d WHERE delta_ms IS NOT NULL GROUP BY 1
+    )
+    SELECT COALESCE(o.bucket_start, n.bucket_start) AS bucket_start,
+           o.cnt AS old_turn_count, n.cnt AS new_turn_count,
+           CASE WHEN o.cnt IS NULL THEN 'added'
+                WHEN n.cnt IS NULL THEN 'removed'
+                WHEN o.cnt <> n.cnt THEN 'changed' END AS status,
+           COALESCE(n.cnt, 0) - COALESCE(o.cnt, 0) AS delta_turn_count
+    FROM old_r o FULL OUTER JOIN new_r n USING (bucket_start)
+    WHERE CASE WHEN o.cnt IS NULL THEN 'added'
+               WHEN n.cnt IS NULL THEN 'removed'
+               WHEN o.cnt <> n.cnt THEN 'changed' END IS NOT NULL""",
     "sax_words": """
     WITH paa AS (
         SELECT user_id, date_trunc('hour', ts) AS b,

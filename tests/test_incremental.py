@@ -168,3 +168,27 @@ def test_lineage_manifests(spark, data):
     # incremental read returns exactly batch-2 rows
     inc = store.incremental(spark, 1, 2)
     assert inc.count() == ms[1]["metrics"]["added_rows"]
+
+def test_rollup_diff_statuses(spark):
+    from rollup_engine.incremental import rollup_diff
+
+    old = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 5), ("2024-01-01 01:00:00", 7),
+         ("2024-01-01 02:00:00", 3)],
+        "bucket_start string, turn_count long",
+    )
+    new = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 5), ("2024-01-01 01:00:00", 9),
+         ("2024-01-01 03:00:00", 2)],
+        "bucket_start string, turn_count long",
+    )
+    got = {
+        r["bucket_start"]: (r["status"], r["delta_turn_count"])
+        for r in rollup_diff(old, new).collect()
+    }
+    # unchanged 00:00 bucket must NOT appear
+    assert got == {
+        "2024-01-01 01:00:00": ("changed", 2),
+        "2024-01-01 02:00:00": ("removed", -3),
+        "2024-01-01 03:00:00": ("added", 2),
+    }
