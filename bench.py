@@ -656,6 +656,9 @@ def append_cached_sections() -> None:
     if os.path.exists(_BUCKETED_CACHE):
         with open(_BUCKETED_CACHE) as f:
             out += _bucketed_lines(json.load(f))
+    if os.path.exists(_REALTIME_CACHE):
+        with open(_REALTIME_CACHE) as f:
+            out += _realtime_lines(json.load(f))
     if os.path.exists(_TIERMERGE_CACHE):
         with open(_TIERMERGE_CACHE) as f:
             out += _tier_lines(json.load(f))
@@ -775,6 +778,146 @@ def _bucketed_lines(m: dict) -> list[str]:
         "",
         f"**Speedup: {m['speedup']}×** — the exchange the headline/scaling "
         "legs deliberately keep paying for comparability. "
+        + m.get("conclusion", ""),
+    ]
+
+
+_REALTIME_CACHE = os.path.join(REPO, "BENCH", "realtime_leg.json")
+
+
+def run_realtime_leg(turns: int | None = None) -> dict:
+    """Put a number on the real-time continuous aggregate: serving the
+    full minute tier as (materialized cold tier ∪ raw hot tail) vs
+    recomputing it from raw — the reference's only continuous mode
+    re-reads EVERYTHING every scrape (README.md:126-147); TimescaleDB-
+    style caggs are the scale answer, and this leg measures the gap.
+
+    Standing state (untimed, maintained by the refresher in
+    production): the day-partitioned materialized tier for everything
+    before the last full hour, plus the per-conversation boundary
+    state.  Timed: the full query over all buckets, both paths,
+    interleaved min-of-3 in one session.  The bench table spans 24 h,
+    so the hot tail is 1/24 of raw — at a production 30-day window the
+    ratio is 1/720 and the gap correspondingly larger."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rollup_engine.deltas import with_deltas
+    from rollup_engine.hist_rollup import hist_rollup, narrow_for_rollup
+    from rollup_engine.realtime import (
+        conv_state_at,
+        materialize_tier,
+        realtime_rollup,
+    )
+    from rollup_engine.session import get_spark
+    from rollup_engine.transcripts import clean
+
+    n = turns or BENCH_TURNS
+    table = ensure_bench_table(n)
+    os.makedirs("/dev/shm/spark-local-bench", exist_ok=True)
+    os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local-bench")
+    spark = get_spark("realtime-leg", shuffle_partitions=64)
+    raw0 = clean(spark.read.parquet(table))
+    max_ts = raw0.agg({"ts": "max"}).first()[0]
+    split = max_ts.replace(minute=0, second=0, microsecond=0)
+
+    # Standing state, all untimed: (a) the raw table in the deployment
+    # layout — HOUR-partitioned (ingest.py's ds-partitioning at the
+    # hot-table grain; the Iceberg hours(ts) analog) so the tail scan
+    # is partition-pruned instead of a full pass with a discard filter
+    # (first measurement of this leg: an unpartitioned raw table caps
+    # the speedup at 1.5× because the tail scan still reads all 48M
+    # rows); (b) the materialized minute tier; (c) the per-conversation
+    # boundary state the refresher checkpoints.
+    raw_path = os.path.join(REPO, ".benchdata", f"rt_raw_{n}")
+    tier_path = os.path.join(REPO, ".benchdata", f"rt_minute_{n}")
+    state_path = os.path.join(REPO, ".benchdata", f"rt_state_{n}")
+    if not os.path.exists(os.path.join(raw_path, "_SUCCESS")):
+        shutil.rmtree(raw_path, ignore_errors=True)
+        (
+            narrow_for_rollup(raw0)
+            .withColumn("hr", F.date_format("ts", "yyyy-MM-dd-HH"))
+            .repartition("hr")
+            .write.mode("overwrite")
+            .partitionBy("hr")
+            .parquet(raw_path)
+        )
+    narrow = spark.read.parquet(raw_path)
+    for p in (tier_path, state_path):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    materialize_tier(
+        hist_rollup(
+            with_deltas(narrow.where(f"ts < timestamp'{split}'")), "minute"
+        ),
+        tier_path,
+    )
+    conv_state_at(narrow, split).drop("hr").write.mode("overwrite").parquet(
+        state_path
+    )
+    state = spark.read.parquet(state_path)
+
+    split_hr = split.strftime("%Y-%m-%d-%H")
+    tail = narrow.where(f"hr >= '{split_hr}'").drop("hr")
+    full_job = lambda: _force(
+        hist_rollup(with_deltas(narrow.drop("hr")), "minute")
+    )
+    rt_job = lambda: _force(
+        realtime_rollup(
+            spark, tier_path, tail, "minute", split,
+            conv_state=state.select(*tail.columns),
+        )
+    )
+    hw = _hw_rate(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    full_job()
+    rt_job()
+    t_full, t_rt = [], []
+    for _ in range(3):
+        t_full.append(_timed(full_job))
+        t_rt.append(_timed(rt_job))
+    tf, tr = min(t_full), min(t_rt)
+    result = {
+        "turns": n,
+        "span_hours": 24,
+        "hot_tail_hours": round(
+            (max_ts - split).total_seconds() / 3600 + 1, 2
+        ),
+        "full_recompute_sec": round(tf, 3),
+        "realtime_sec": round(tr, 3),
+        "speedup": round(tf / tr, 3),
+        "full_all": [round(x, 3) for x in t_full],
+        "realtime_all": [round(x, 3) for x in t_rt],
+        "hw_chunks_per_sec": round(hw, 2),
+    }
+    _write_cache(_REALTIME_CACHE, result)
+    return result
+
+
+def _realtime_lines(m: dict) -> list[str]:
+    return [
+        "",
+        "## Real-time continuous aggregate vs full recompute",
+        "",
+        f"Serving the complete minute tier over {m['turns']:,} turns "
+        f"({m['span_hours']} h span): recompute-from-raw vs "
+        f"`realtime.realtime_rollup` (materialized day-partitioned cold "
+        f"tier ∪ raw hot tail of ~{m['hot_tail_hours']} h, boundary-state "
+        f"seeded — results bit-identical, driver-gated as "
+        f"`realtime_rollup`).  Interleaved min-of-3, one session, window "
+        f"capacity {m['hw_chunks_per_sec']} chunks/s.",
+        "",
+        "| path | sec | reps |",
+        "|---|---|---|",
+        f"| full recompute from raw | {m['full_recompute_sec']} | "
+        f"{m['full_all']} |",
+        f"| cold tier ∪ hot tail | {m['realtime_sec']} | "
+        f"{m['realtime_all']} |",
+        "",
+        f"**Speedup: {m['speedup']}×** at a 24 h window (hot tail = 1/24 "
+        "of raw); a production 30-day window puts the tail at 1/720 and "
+        "the cold side stays a calendar-bounded tier read — the query "
+        "cost becomes independent of the raw history. "
         + m.get("conclusion", ""),
     ]
 
@@ -1118,6 +1261,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--bucketed-leg":
         m = run_bucketed_leg()
         print(json.dumps({"metric": "bucketed_leg", **m}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--realtime-leg":
+        m = run_realtime_leg()
+        print(json.dumps({"metric": "realtime_leg", **m}))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--multiproc-scaling":
         m = run_multiproc_scaling()

@@ -119,3 +119,80 @@ def decode_chunks(chunks: DataFrame, metric_cols: list[str] | None = None) -> Da
                 yield out
 
     return chunks.mapInPandas(unpack, schema)
+
+
+def compact_chunks(
+    chunks: DataFrame, metric_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge fragmented chunk rows — the storage-maintenance pass
+    (Iceberg ``rewrite_data_files`` analog for this layout).
+
+    Incremental ingest appends one chunk row per (key, batch), so a
+    (conv_bucket, time_chunk) key accumulates fragments and every
+    reader pays per-fragment decode setup plus worse compression
+    (delta-of-delta restarts at each fragment boundary).  Compaction
+    re-groups by the SAME chunk key (one shuffle of the already-
+    compressed rows — bytes shuffled ≈ compressed size, never raw
+    scale), decodes each key's fragments, re-sorts to the canonical
+    stable (conv_id, turn_idx) order, and re-packs to exactly one row
+    per key.  Single-fragment keys pass through without a decode
+    (the common case after the first compaction).
+
+    Invariant (pinned by tests): ``decode_chunks(compact_chunks(c)) ==
+    decode_chunks(c)`` row-for-row, and the output has one row per key.
+    """
+    metric_cols = metric_cols or []
+    schema = chunk_schema(metric_cols)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 1:
+            return pdf
+        flat = pd.DataFrame(
+            {
+                "conv_id": np.concatenate(
+                    [np.asarray(x, dtype=object) for x in pdf["conv_ids"]]
+                ),
+                "turn_idx": np.concatenate(
+                    [np.asarray(x, dtype=np.int32) for x in pdf["turn_idxs"]]
+                ),
+                "role": np.concatenate(
+                    [np.asarray(x, dtype=object) for x in pdf["roles"]]
+                ),
+                "text": np.concatenate(
+                    [np.asarray(x, dtype=object) for x in pdf["texts"]]
+                ),
+                "tool": np.concatenate(
+                    [np.asarray(x, dtype=object) for x in pdf["tools"]]
+                ),
+                "_ts": np.concatenate(
+                    [codec.decode_timestamps(b) for b in pdf["ts_enc"]]
+                ),
+            }
+        )
+        for m in metric_cols:
+            flat[m] = np.concatenate(
+                [codec.decode_floats(b) for b in pdf[f"{m}_gx"]]
+            )
+        flat = flat.sort_values(["conv_id", "turn_idx"], kind="stable")
+        row = {
+            "conv_bucket": pdf["conv_bucket"].iloc[0],
+            "time_chunk": pdf["time_chunk"].iloc[0],
+            "n": len(flat),
+            "conv_ids": flat["conv_id"].tolist(),
+            "turn_idxs": flat["turn_idx"].tolist(),
+            "roles": flat["role"].tolist(),
+            "texts": flat["text"].tolist(),
+            "tools": flat["tool"].tolist(),
+            "ts_enc": codec.encode_timestamps(
+                flat["_ts"].to_numpy(dtype=np.int64)
+            ),
+        }
+        for m in metric_cols:
+            row[f"{m}_gx"] = codec.encode_floats(
+                flat[m].to_numpy(dtype=np.float64)
+            )
+        return pd.DataFrame([row])
+
+    return chunks.groupBy("conv_bucket", "time_chunk").applyInPandas(
+        merge, schema
+    )

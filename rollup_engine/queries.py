@@ -357,6 +357,24 @@ def q_rollup_from_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup(with_deltas(rt), "minute")
 
 
+def q_rollup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-maintenance path: transcripts split into 3 interleaved
+    ingest batches -> 3 chunk fragments per (bucket, day) key ->
+    compact_chunks merges to one canonical row per key -> decode ->
+    rollup must STILL equal the direct SQL rollup (a merge that drops,
+    duplicates, or mis-orders any turn diverges here)."""
+    from .chunks import compact_chunks, decode_chunks, encode_chunks
+
+    t = from_events(spark, sf_dir)
+    frags = encode_chunks(t.withColumn("_b", F.pmod(F.xxhash64("text"), F.lit(3))).where("_b = 0").drop("_b")).unionByName(
+        encode_chunks(t.withColumn("_b", F.pmod(F.xxhash64("text"), F.lit(3))).where("_b = 1").drop("_b"))
+    ).unionByName(
+        encode_chunks(t.withColumn("_b", F.pmod(F.xxhash64("text"), F.lit(3))).where("_b = 2").drop("_b"))
+    )
+    rt = decode_chunks(compact_chunks(frags))
+    return rollup(with_deltas(rt), "minute")
+
+
 def q_topk_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort/limit sanity: busiest conversations by turn count."""
     return (
@@ -1021,6 +1039,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gapfill_keyed": q_gapfill_keyed,
     "rollup_retention": q_rollup_retention,
     "rollup_from_chunks": q_rollup_from_chunks,
+    "rollup_compacted": q_rollup_compacted,
     "rollup_sketch_minute": q_rollup_sketch_minute,
     "rollup_hour_cascade": q_rollup_hour_cascade,
     "rollup_day_cascade": q_rollup_day_cascade,
@@ -1323,6 +1342,7 @@ ORACLES: dict[str, str] = {
     "rollup_hour_cascade": _rollup_tier_sql("hour"),
     "rollup_day_cascade": _rollup_tier_sql("day"),
     "rollup_month_cascade": _rollup_tier_sql("month"),
+    "rollup_compacted": _rollup_tier_sql("minute"),
     "rollup_week_cascade": _rollup_tier_sql("week"),
     "realtime_rollup": _rollup_tier_sql("minute"),
     "snapshot_diff": f"""{_DELTAS_CTE},

@@ -96,3 +96,77 @@ def test_chunk_compression_counts(spark):
     chunks = encode_chunks(t)
     total = chunks.selectExpr("sum(n) s").collect()[0].s
     assert total == t.count()
+
+def test_compact_chunks_merges_fragments_exactly(spark):
+    """3 interleaved ingest batches → fragments; compaction must yield
+    ONE row per (bucket, day) key whose decode equals the unfragmented
+    encode's decode row-for-row (metrics included), with the canonical
+    in-chunk order restored."""
+    from pyspark.sql import functions as F
+
+    from rollup_engine.chunks import (
+        compact_chunks,
+        decode_chunks,
+        encode_chunks,
+    )
+    from rollup_engine.deltas import with_deltas
+    from rollup_engine.transcripts import from_events
+
+    t = with_deltas(
+        from_events(spark, "/root/testdata/sf0.001"), keep_first_turn=True
+    ).withColumn("delta_ms", F.col("delta_ms").cast("double"))
+    b = t.withColumn("_b", F.pmod(F.xxhash64("text"), F.lit(3)))
+    frags = None
+    for i in range(3):
+        part = encode_chunks(
+            b.where(F.col("_b") == i).drop("_b"), metric_cols=["delta_ms"]
+        )
+        frags = part if frags is None else frags.unionByName(part)
+    # fragmentation is real: more rows than distinct keys
+    n_keys = frags.select("conv_bucket", "time_chunk").distinct().count()
+    assert frags.count() > n_keys
+
+    compacted = compact_chunks(frags, metric_cols=["delta_ms"])
+    assert compacted.count() == n_keys
+    assert (
+        compacted.groupBy("conv_bucket", "time_chunk")
+        .count()
+        .where("count > 1")
+        .count()
+        == 0
+    )
+
+    want = (
+        decode_chunks(
+            encode_chunks(t, metric_cols=["delta_ms"]),
+            metric_cols=["delta_ms"],
+        )
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    got = (
+        decode_chunks(compacted, metric_cols=["delta_ms"])
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert len(want) == len(got)
+    for c in ["conv_id", "turn_idx", "role", "text", "tool", "ts"]:
+        assert (want[c] == got[c]).all(), c
+    assert np.array_equal(
+        want["delta_ms"].to_numpy(), got["delta_ms"].to_numpy(), equal_nan=True
+    )
+
+
+def test_compact_chunks_passthrough_when_already_compact(spark):
+    from rollup_engine.chunks import compact_chunks, encode_chunks
+    from rollup_engine.transcripts import from_events
+
+    t = from_events(spark, "/root/testdata/sf0.001")
+    c = encode_chunks(t)
+    cc = compact_chunks(c)
+    a = c.orderBy("conv_bucket", "time_chunk").select("n", "ts_enc").toPandas()
+    b = cc.orderBy("conv_bucket", "time_chunk").select("n", "ts_enc").toPandas()
+    assert (a["n"] == b["n"]).all()
+    assert all(x == y for x, y in zip(a["ts_enc"], b["ts_enc"]))

@@ -77,3 +77,27 @@ def test_bad_threshold_rejected(spark):
     df = _zipf_df(spark, n_heavy=1, n_tail=1, reps_heavy=2)
     with pytest.raises(ValueError):
         heavy_hitters(df, "k", 3, 2)
+
+
+def test_random_reference_various_thresholds(spark):
+    """Seeded random frequency mixes at several θ: the operator must
+    equal the exact frequency-table answer every time."""
+    import random
+
+    rng = random.Random(20260817)
+    vals = []
+    for i in range(60):
+        vals += [f"v{i}"] * rng.randint(1, 120)
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "k string").repartition(5)
+    from collections import Counter
+
+    exact = Counter(vals)
+    n = len(vals)
+    for num, den in [(1, 20), (1, 50), (3, 100)]:
+        want = {k: c for k, c in exact.items() if c * den >= num * n}
+        got = {
+            r["k"]: r["cnt"]
+            for r in heavy_hitters(df, "k", num, den).collect()
+        }
+        assert got == want, (num, den)
