@@ -441,6 +441,14 @@ def write_baseline_md(payload: dict) -> bool:
     if norm:
         lines += [
             "",
+            "Run-to-run spread note (round 5): across same-day suite runs "
+            "with identical code, individual rollup-family queries swing "
+            "1.1-1.9s while rollup_minute holds ~1.5s — the pure-CPU probe "
+            "does not capture the memory-bandwidth contention that "
+            "dominates this VM's heavy-tail noise (the round-3 "
+            "decomposition). Treat per-query deltas under ~1.5x across "
+            "rounds as window noise.",
+            "",
             f"Suite total: **{payload['value']} s raw**, "
             f"**{payload['value_normalized']} s normalized**.",
         ]
