@@ -664,6 +664,9 @@ def append_cached_sections() -> None:
     if os.path.exists(_BUCKETED_CACHE):
         with open(_BUCKETED_CACHE) as f:
             out += _bucketed_lines(json.load(f))
+    if os.path.exists(_ZORDER_CACHE):
+        with open(_ZORDER_CACHE) as f:
+            out += _zorder_lines(json.load(f))
     if os.path.exists(_REALTIME_CACHE):
         with open(_REALTIME_CACHE) as f:
             out += _realtime_lines(json.load(f))
@@ -788,6 +791,188 @@ def _bucketed_lines(m: dict) -> list[str]:
         "legs deliberately keep paying for comparability. "
         + m.get("conclusion", ""),
     ]
+
+
+_ZORDER_CACHE = os.path.join(REPO, "BENCH", "zorder_leg.json")
+
+
+def _rg_hit_fraction(path: str, overlaps) -> tuple[int, int]:
+    """(row groups a min/max-pruning reader must touch, total row
+    groups) across a parquet directory — the bytes-touched story at any
+    scale, independent of this box's page cache.  ``overlaps`` maps a
+    {column: (min, max)} stats dict to True if the row group can
+    contain matches."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    hit = total = 0
+    for fp in sorted(_glob.glob(os.path.join(path, "part-*.parquet"))):
+        md = pq.ParquetFile(fp).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            stats = {}
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                if col.statistics is not None:
+                    stats[col.path_in_schema] = (
+                        col.statistics.min,
+                        col.statistics.max,
+                    )
+            total += 1
+            hit += bool(overlaps(stats))
+    return hit, total
+
+
+def run_zorder_leg(turns: int | None = None) -> dict:
+    """Put numbers on the Z-order (Morton) layout: the same two probe
+    queries — a 30-minute time slice and a 4-conversation fetch — over
+    one z-ordered copy (ingest.write_zorder_table) vs a round-robin
+    copy of the same table.  Two results per probe: wall time on this
+    box (min-of-3, interleaved, page-cache-warm, so it measures decode
+    work saved) and footer-level row-group selectivity (the fraction of
+    the table a min/max-pruning reader must touch — the number that IS
+    the 100 TB story, where untouched row groups are bytes never read
+    from object storage).  Both writes are untimed deployment ingest
+    cost, like the bucketed leg."""
+    from pyspark.sql import functions as F
+
+    from rollup_engine.ingest import (
+        ZORDER_HASH_COL,
+        write_zorder_table,
+    )
+    from rollup_engine.session import get_spark
+
+    n = turns or BENCH_TURNS
+    table = ensure_bench_table(n)
+    os.makedirs("/dev/shm/spark-local-bench", exist_ok=True)
+    os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local-bench")
+    spark = get_spark("zorder-leg", shuffle_partitions=64)
+    plain = spark.read.parquet(table)
+    zpath = os.path.join(REPO, ".benchdata", f"zorder_{n}")
+    npath = os.path.join(REPO, ".benchdata", f"zorder_naive_{n}")
+    if not os.path.exists(os.path.join(zpath, "_SUCCESS")):
+        write_zorder_table(plain, zpath, n_files=64)
+    if not os.path.exists(os.path.join(npath, "_SUCCESS")):
+        # round-robin baseline with the same persisted hash column and
+        # the same micros encoding, so only the LAYOUT differs
+        key = "spark.sql.parquet.outputTimestampType"
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            (
+                plain.withColumn(
+                    ZORDER_HASH_COL,
+                    F.pmod(F.xxhash64("conv_id"), F.lit(65536)),
+                )
+                .repartition(64)
+                .write.mode("overwrite")
+                .parquet(npath)
+            )
+        finally:
+            spark.conf.unset(key)
+
+    import datetime
+
+    t_lo = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    t_hi = datetime.datetime(2024, 1, 1, 12, 30, 0)
+    convs = [f"conv-{i}" for i in (11, 5003, 120007, 33311) if i < max(n // 100, 12)]
+    hashes = [
+        r[0]
+        for r in spark.createDataFrame([(c,) for c in convs], "conv_id string")
+        .select(F.pmod(F.xxhash64("conv_id"), F.lit(65536)))
+        .collect()
+    ]
+
+    def time_probe(path):
+        df = spark.read.parquet(path).where(
+            (F.col("ts") >= F.lit(t_lo)) & (F.col("ts") < F.lit(t_hi))
+        )
+        return lambda: _force(
+            df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("text")).alias("chars"),
+            )
+        )
+
+    def conv_probe(path):
+        df = spark.read.parquet(path).where(
+            F.col(ZORDER_HASH_COL).isin(hashes)
+            & F.col("conv_id").isin(convs)
+        )
+        return lambda: _force(
+            df.groupBy("conv_id").agg(
+                F.count(F.lit(1)).alias("n"), F.max("turn_idx").alias("mx")
+            )
+        )
+
+    def t_overlap(stats):
+        lo, hi = stats.get("ts", (None, None))
+        if lo is None:
+            return True
+        # pyarrow surfaces TIMESTAMP_MICROS stats tz-aware (UTC); the
+        # session writes UTC, so stripping tzinfo compares like-for-like
+        return lo.replace(tzinfo=None) < t_hi and hi.replace(tzinfo=None) >= t_lo
+
+    def c_overlap(stats):
+        lo, hi = stats.get(ZORDER_HASH_COL, (None, None))
+        return lo is None or any(lo <= h <= hi for h in hashes)
+
+    hw = _hw_rate(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    result = {"turns": n, "hw_chunks_per_sec": round(hw, 2), "probes": {}}
+    for probe_name, mk, ov in (
+        ("time_slice_30min", time_probe, t_overlap),
+        ("conv_fetch_4ids", conv_probe, c_overlap),
+    ):
+        mk(zpath)()  # warm both plan shapes once, untimed
+        mk(npath)()
+        tz, tn = [], []
+        for _ in range(3):
+            tz.append(_timed(mk(zpath)))
+            tn.append(_timed(mk(npath)))
+        zh, zt = _rg_hit_fraction(zpath, ov)
+        nh, nt = _rg_hit_fraction(npath, ov)
+        result["probes"][probe_name] = {
+            "zorder_sec": round(min(tz), 3),
+            "naive_sec": round(min(tn), 3),
+            "speedup": round(min(tn) / min(tz), 3),
+            "zorder_rg_touched": f"{zh}/{zt}",
+            "naive_rg_touched": f"{nh}/{nt}",
+            "zorder_rg_fraction": round(zh / zt, 3),
+            "naive_rg_fraction": round(nh / nt, 3),
+            "zorder_all": [round(x, 3) for x in tz],
+            "naive_all": [round(x, 3) for x in tn],
+        }
+    _write_cache(_ZORDER_CACHE, result)
+    return result
+
+
+def _zorder_lines(m: dict) -> list[str]:
+    lines = [
+        "",
+        "## Z-order (Morton) layout probes",
+        "",
+        f"Two probe queries over {m['turns']:,} turns, one z-ordered "
+        "copy (`ingest.write_zorder_table`, the OPTIMIZE ZORDER BY "
+        "analog) vs a round-robin copy with identical columns and "
+        "encoding.  Row-groups-touched is footer min/max pruning — at "
+        "100 TB those are bytes never read from object storage; wall "
+        "sec here is page-cache-warm local[32] (decode work saved), "
+        f"min-of-3, window capacity {m['hw_chunks_per_sec']} chunks/s.",
+        "",
+        "| probe | layout | sec | row groups touched | reps |",
+        "|---|---|---|---|---|",
+    ]
+    for pname, r in m["probes"].items():
+        lines += [
+            f"| {pname} | z-order | {r['zorder_sec']} | "
+            f"{r['zorder_rg_touched']} ({r['zorder_rg_fraction']:.0%}) | "
+            f"{r['zorder_all']} |",
+            f"| {pname} | round-robin | {r['naive_sec']} | "
+            f"{r['naive_rg_touched']} ({r['naive_rg_fraction']:.0%}) | "
+            f"{r['naive_all']} |",
+        ]
+    lines += ["", m.get("conclusion", "")]
+    return lines
 
 
 _REALTIME_CACHE = os.path.join(REPO, "BENCH", "realtime_leg.json")
@@ -1269,6 +1454,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--bucketed-leg":
         m = run_bucketed_leg()
         print(json.dumps({"metric": "bucketed_leg", **m}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--zorder-leg":
+        m = run_zorder_leg()
+        print(json.dumps({"metric": "zorder_leg", **m}))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--realtime-leg":
         m = run_realtime_leg()

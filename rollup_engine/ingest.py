@@ -24,6 +24,17 @@ from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 16
 
+# Persisted 16-bit conversation hash on z-ordered tables.  The Morton
+# layout localizes conv-hash per file, but parquet footers only carry
+# stats for REAL columns — raw conv_id string min/max are useless under
+# hash order (every file spans ~the whole id lexicon).  Persisting the
+# hash the curve was built from gives readers a sargable handle: an
+# ``IN (<hashes>)`` predicate on this column reaches the scan as a
+# parquet In filter and prunes row groups by the very stats the layout
+# sharpened.
+ZORDER_HASH_COL = "conv_c16"
+_ZORDER_HASH_MOD = 65536
+
 
 def write_partitioned(
     df: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS, mode: str = "overwrite"
@@ -90,6 +101,7 @@ def write_zorder_table(
     ts_col: str = "ts",
     conv_col: str = "conv_id",
     mode: str = "overwrite",
+    hash_col: str | None = ZORDER_HASH_COL,
 ) -> None:
     """Z-ORDER (Morton-curve) file layout over (hour(ts), conv-hash) —
     the OPTIMIZE ZORDER BY analog for this engine's two query axes.
@@ -112,6 +124,10 @@ def write_zorder_table(
     pitfall where one axis silently degenerates to a plain sort (the
     first version of this writer did exactly that; the layout test
     caught it).
+
+    ``hash_col`` (default ``conv_c16``) persists the 16-bit conv hash
+    the curve interleaves, so conv-axis pruning is sargable at read
+    time (see ``read_zorder_convs``); pass None to skip it.
     """
     t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     lo, hi = (
@@ -124,8 +140,14 @@ def write_zorder_table(
         F.floor((t_us - F.lit(lo)).cast("double") / F.lit(width) * 65536.0),
         F.lit(65535),
     ).cast("long")
-    conv16 = F.pmod(F.xxhash64(F.col(conv_col)), F.lit(65536))
-    z = df.withColumn("_z", _interleave16(hour16, conv16))
+    conv16 = F.pmod(F.xxhash64(F.col(conv_col)), F.lit(_ZORDER_HASH_MOD))
+    z = df
+    if hash_col is not None:
+        # persist the SAME value the curve interleaves — the reader's
+        # predicate column and the layout's locality axis must agree
+        z = z.withColumn(hash_col, conv16)
+        conv16 = F.col(hash_col)
+    z = z.withColumn("_z", _interleave16(hour16, conv16))
     # Spark's legacy INT96 timestamp encoding writes NO min/max stats,
     # which silently disables the row-group pruning this whole layout
     # exists for — force the annotated int64 encoding for this write.
@@ -146,3 +168,46 @@ def write_zorder_table(
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def read_zorder(spark: SparkSession, path: str) -> DataFrame:
+    """Plain scan of a z-ordered table, layout column dropped.  Time
+    pruning needs no helper — any ``ts`` range predicate hits the
+    sharpened footer stats directly."""
+    df = spark.read.parquet(path)
+    return df.drop(ZORDER_HASH_COL) if ZORDER_HASH_COL in df.columns else df
+
+
+def read_zorder_convs(
+    spark: SparkSession,
+    path: str,
+    conv_ids: list[str],
+    conv_col: str = "conv_id",
+) -> DataFrame:
+    """Conversation-pruned scan of a z-ordered table.
+
+    The 16-bit hashes of the requested ids are computed with the SAME
+    expression the writer interleaved (one tiny len(conv_ids)-row job,
+    read-setup cost of the same class as the ANN query-vector fetch);
+    the resulting ``conv_c16 IN (<literals>)`` predicate reaches
+    parquet as an In filter, so row-group min/max stats — which the
+    Morton layout made selective on this axis — skip most of the file
+    bytes.  The exact ``conv_id IN`` filter then removes 16-bit hash
+    collisions; correctness never depends on the pruning.
+    """
+    hashes = [
+        r[0]
+        for r in spark.createDataFrame(
+            [(c,) for c in conv_ids], f"{conv_col} string"
+        )
+        .select(F.pmod(F.xxhash64(conv_col), F.lit(_ZORDER_HASH_MOD)))
+        .collect()
+    ]
+    return (
+        spark.read.parquet(path)
+        .where(
+            F.col(ZORDER_HASH_COL).isin(hashes)
+            & F.col(conv_col).isin(conv_ids)
+        )
+        .drop(ZORDER_HASH_COL)
+    )

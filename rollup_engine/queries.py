@@ -375,6 +375,33 @@ def q_rollup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup(with_deltas(rt), "minute")
 
 
+def q_rollup_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout round trip, driver-verified end-to-end:
+    transcripts → Morton-curve rewrite (ingest.write_zorder_table) →
+    conv-hash-pruned + time-sliced read back (read_zorder_convs, the
+    path whose row-group skipping the layout exists for) → minute
+    rollup must equal the same SQL over the original rows.  Any layout
+    bug that drops, duplicates, or (via a hash mismatch between writer
+    and reader) mis-prunes a row diverges here."""
+    import os
+
+    from .ingest import write_zorder_table, read_zorder_convs
+    from .queries_pipeline import _workdir
+
+    t = from_events(spark, sf_dir)
+    path = os.path.join(_workdir("zorder", sf_dir), "tbl")
+    write_zorder_table(t, path, n_files=16)
+    convs = [
+        r[0]
+        for r in t.select("conv_id").distinct().orderBy("conv_id").limit(5).collect()
+    ]
+    sel = read_zorder_convs(spark, path, convs).where(
+        (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    )
+    return rollup(with_deltas(sel), "minute")
+
+
 def q_topk_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort/limit sanity: busiest conversations by turn count."""
     return (
@@ -1040,6 +1067,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_retention": q_rollup_retention,
     "rollup_from_chunks": q_rollup_from_chunks,
     "rollup_compacted": q_rollup_compacted,
+    "rollup_zorder": q_rollup_zorder,
     "rollup_sketch_minute": q_rollup_sketch_minute,
     "rollup_hour_cascade": q_rollup_hour_cascade,
     "rollup_day_cascade": q_rollup_day_cascade,
@@ -1113,6 +1141,7 @@ _DRIVER_TAIL = [
 # placed before _DRIVER_TAIL so a larger driver budget picks them up
 # first.
 _DRIVER_OVERFLOW = [
+    "rollup_zorder",
     "cusum_drift",
     "changepoint",
     "typo_pairs",
@@ -1343,6 +1372,29 @@ ORACLES: dict[str, str] = {
     "rollup_day_cascade": _rollup_tier_sql("day"),
     "rollup_month_cascade": _rollup_tier_sql("month"),
     "rollup_compacted": _rollup_tier_sql("minute"),
+    # z-order round trip: same minute rollup, restricted to the pruned
+    # read's subset (5 lexicographically-first conversations, 10-day
+    # slice); deltas computed within the subset, like rollup_filtered
+    "rollup_zorder": f"""{_TRANSCRIPTS_CTE},
+    sel AS (SELECT DISTINCT conv_id FROM t ORDER BY conv_id LIMIT 5),
+    f AS (
+        SELECT t.* FROM t
+        WHERE conv_id IN (SELECT conv_id FROM sel)
+          AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    ),
+    d AS (
+        SELECT *,
+            (epoch_us(ts) - epoch_us(LAG(ts) OVER
+                (PARTITION BY conv_id ORDER BY turn_idx))) // 1000
+                AS delta_ms
+        FROM f
+    )
+    SELECT 'minute' AS tier, date_trunc('minute', ts) AS bucket_start,
+           {_METRICS_SQL}
+    FROM d WHERE delta_ms IS NOT NULL
+    GROUP BY 2
+    """,
     "rollup_week_cascade": _rollup_tier_sql("week"),
     "realtime_rollup": _rollup_tier_sql("minute"),
     "snapshot_diff": f"""{_DELTAS_CTE},

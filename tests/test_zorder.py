@@ -9,7 +9,11 @@ import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
 
-from rollup_engine.ingest import write_zorder_table
+from rollup_engine.ingest import (
+    ZORDER_HASH_COL,
+    read_zorder_convs,
+    write_zorder_table,
+)
 from rollup_engine.transcripts import from_events
 
 # sf0.001 has only 15 distinct conversations — too few hash points for
@@ -38,7 +42,7 @@ def _file_spans(path: str, ts_field: str = "ts"):
                 if name == ts_field:
                     t_lo = st.min if t_lo is None else min(t_lo, st.min)
                     t_hi = st.max if t_hi is None else max(t_hi, st.max)
-                if name == "_c16":
+                if name == ZORDER_HASH_COL:
                     c_lo = st.min if c_lo is None else min(c_lo, st.min)
                     c_hi = st.max if c_hi is None else max(c_hi, st.max)
         spans.append(((t_lo, t_hi), (c_lo, c_hi)))
@@ -48,13 +52,16 @@ def _file_spans(path: str, ts_field: str = "ts"):
 @pytest.fixture(scope="module")
 def layouts(spark, tmp_path_factory):
     base = tmp_path_factory.mktemp("zo")
-    # carry the conv-hash as a real column so footer stats exist for it
-    t = from_events(spark, SF).withColumn(
-        "_c16", F.pmod(F.xxhash64("conv_id"), F.lit(65536))
-    )
+    t = from_events(spark, SF)
     zpath = str(base / "zorder")
     npath = str(base / "naive")
+    # the writer itself persists ZORDER_HASH_COL (the sargable handle)
     write_zorder_table(t, zpath, n_files=16)
+    # the naive layout needs the same column added manually so its
+    # footers are span-comparable
+    t = t.withColumn(
+        ZORDER_HASH_COL, F.pmod(F.xxhash64("conv_id"), F.lit(65536))
+    )
     # the no-layout alternative: round-robin files (what a plain
     # repartition-and-write produces) — every file samples the whole
     # table, so footer stats localize NEITHER axis.  Same micros
@@ -112,3 +119,22 @@ def test_zorder_rewrite_is_exact(spark, layouts):
         back.select(F.bit_xor(F.xxhash64("conv_id", "turn_idx", "ts"))).first()[0]
         == t.select(F.bit_xor(F.xxhash64("conv_id", "turn_idx", "ts"))).first()[0]
     )
+
+
+def test_zorder_pruned_conv_read_exact(spark, layouts):
+    """read_zorder_convs (hash-pruned In + exact id filter) returns
+    exactly the rows a plain conv_id filter over the source returns —
+    pruning is a layout optimization, never a semantics change."""
+    t, zpath, _ = layouts
+    convs = [
+        r[0]
+        for r in t.select("conv_id").distinct().orderBy("conv_id").limit(5).collect()
+    ]
+    got = read_zorder_convs(spark, zpath, convs)
+    want = t.where(F.col("conv_id").isin(convs)).drop(ZORDER_HASH_COL)
+    assert got.count() == want.count() > 0
+    sig = lambda df: df.select(  # noqa: E731
+        F.bit_xor(F.xxhash64("conv_id", "turn_idx", "ts"))
+    ).first()[0]
+    assert sig(got) == sig(want)
+    assert ZORDER_HASH_COL not in got.columns
