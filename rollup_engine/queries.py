@@ -402,6 +402,29 @@ def q_rollup_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup(with_deltas(sel), "minute")
 
 
+def q_ingest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest from at-least-once delivery: a deterministic
+    ~19% of turns is re-delivered 1 s later with edited text (the
+    md5-prefix row gate, computable identically in DuckDB); merging the
+    replayed batch must yield one row per (conv_id, turn_idx) with the
+    later delivery winning — upsert.dedup_redelivered, the MERGE INTO
+    analog (partial-agg max_by kernel, no window sort)."""
+    from .upsert import merge_upsert
+
+    t = from_events(spark, sf_dir)
+    redelivered = t.where(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("conv_id"), F.col("turn_idx"))), 1, 1
+        ).isin("0", "1", "2")
+    ).withColumns(
+        {
+            "text": F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")),
+            "ts": F.col("ts") + F.expr("INTERVAL 1 SECOND"),
+        }
+    )
+    return merge_upsert(t, redelivered)
+
+
 def q_topk_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sort/limit sanity: busiest conversations by turn count."""
     return (
@@ -1068,6 +1091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_from_chunks": q_rollup_from_chunks,
     "rollup_compacted": q_rollup_compacted,
     "rollup_zorder": q_rollup_zorder,
+    "ingest_upsert": q_ingest_upsert,
     "rollup_sketch_minute": q_rollup_sketch_minute,
     "rollup_hour_cascade": q_rollup_hour_cascade,
     "rollup_day_cascade": q_rollup_day_cascade,
@@ -1142,6 +1166,9 @@ _DRIVER_TAIL = [
 # first.
 _DRIVER_OVERFLOW = [
     "rollup_zorder",
+    "ingest_upsert",
+    "pii_redact",
+    "source_cap_sample",
     "cusum_drift",
     "changepoint",
     "typo_pairs",
@@ -1394,6 +1421,28 @@ ORACLES: dict[str, str] = {
            {_METRICS_SQL}
     FROM d WHERE delta_ms IS NOT NULL
     GROUP BY 2
+    """,
+    # at-least-once replay collapsed to exactly-once: the re-delivered
+    # (later-ts, edited-text) copy must win per key — same winner rule
+    # as upsert.version_key (ts DESC, md5(text) DESC)
+    "ingest_upsert": f"""{_TRANSCRIPTS_CTE},
+    dup AS (
+        SELECT conv_id, turn_idx, role,
+               COALESCE(text, '') || ' v2' AS text, tool,
+               ts + INTERVAL 1 SECOND AS ts
+        FROM t
+        WHERE substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 1)
+              IN ('0', '1', '2')
+    ),
+    u AS (SELECT * FROM t UNION ALL SELECT * FROM dup),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY conv_id, turn_idx
+            ORDER BY ts DESC, md5(COALESCE(text, '')) DESC
+        ) AS rn
+        FROM u
+    )
+    SELECT conv_id, turn_idx, role, text, tool, ts FROM r WHERE rn = 1
     """,
     "rollup_week_cascade": _rollup_tier_sql("week"),
     "realtime_rollup": _rollup_tier_sql("minute"),

@@ -91,6 +91,38 @@ def _embs_with_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- text ops
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (textops.redact_pii) with planted evidence: the
+    synthetic corpus contains no PII, so an md5-gated ~1/8 of docs gets
+    a deterministic email + phone + IP + account number appended (a
+    construction DuckDB states verbatim) — the redacted output and the
+    was_redacted flag must match the oracle exactly, and the flag makes
+    non-vacuity visible in the recorded row values."""
+    d = _docs(spark, sf_dir)
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1"
+    )
+    pii_suffix = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-867-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" from 10.0.0.1 acct 1234567890"),
+    )
+    planted = d.withColumn(
+        "text",
+        F.when(gate, F.concat(F.coalesce(F.col("text"), F.lit("")), pii_suffix)).otherwise(
+            F.col("text")
+        ),
+    )
+    red = textops.redact_pii(F.col("text"))
+    return planted.select(
+        "doc_id",
+        red.alias("text_redacted"),
+        (~red.eqNullSafe(F.col("text"))).alias("was_redacted"),
+    )
+
+
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.add_text_features(_docs(spark, sf_dir)).select(
         "doc_id",
@@ -346,6 +378,18 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus cap (sampling.capped_per_group, k=10): keep
+    the 10 docs per source whose md5-rank is smallest — deterministic
+    source balancing whose shuffle carries O(sources×k) rows via
+    WindowGroupLimit (plan-pinned)."""
+    from .sampling import capped_per_group
+
+    return capped_per_group(
+        _docs(spark, sf_dir), "source", 10, "doc_id"
+    ).select("doc_id", "source")
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.media_from_documents(_docs(spark, sf_dir))
     feats = multimodal.extract_features(media, fake=True)
@@ -353,6 +397,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pii_redact": q_pii_redact,
     "text_features": q_text_features,
     "token_stats": q_token_stats,
     "dedup_exact": q_dedup_exact,
@@ -375,6 +420,7 @@ DATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "quality_filter": q_quality_filter,
     "stratified_sample": q_stratified_sample,
+    "source_cap_sample": q_source_cap_sample,
     "multimodal_meta": q_multimodal_meta,
 }
 
@@ -632,6 +678,39 @@ def _pairs_exact_oracle_sql(threshold: float, planted: bool = False) -> str:
 
 
 DATA_ORACLES: dict[str, str] = {
+    # pii_redact: identical RE2/Java-shared patterns, same rule order
+    # as textops.PII_RULES; 'g' = replace every match like Spark
+    "pii_redact": """
+    WITH p AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('0', '1')
+                    THEN COALESCE(text, '')
+                         || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or call 555-867-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         || ' from 10.0.0.1 acct 1234567890'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, text,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                     '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b',
+                     '[PHONE]', 'g'),
+                   '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                   '[IP]', 'g'),
+                 '[0-9]{8,}', '[NUM]', 'g') AS text_redacted
+        FROM p
+    )
+    SELECT doc_id, text_redacted,
+           NOT (text_redacted IS NOT DISTINCT FROM text) AS was_redacted
+    FROM r""",
     "text_features": _FEATURES_CTE
     + """
     SELECT doc_id, ws_tokens, bpe_tokens, avg_word_len, stopword_ratio,
@@ -745,6 +824,17 @@ DATA_ORACLES: dict[str, str] = {
     SELECT doc_id, source FROM documents
     WHERE ('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
           % 100 < 40""",
+    # source_cap_sample: same md5-rank order as sampling.capped_per_group
+    "source_cap_sample": """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source, row_number() OVER (
+            PARTITION BY source
+            ORDER BY ('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)),
+                                     1, 15))::BIGINT,
+                     doc_id
+        ) AS rk
+        FROM documents
+    ) WHERE rk <= 10""",
     "dedup_simhash": _simhash_oracle_sql(max_hamming=6),
     "ann_lsh": _ann_lsh_oracle_sql(nbits=12, hamming_radius=4, k=10),
     "ann_ivf": _ann_ivf_oracle_sql(n_centroids=16, nprobe=4, k=10),

@@ -9,7 +9,7 @@ DuckDB oracle because the hash is md5-derived (see dedup.md5_long).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import md5_long
@@ -28,6 +28,36 @@ def deterministic_sample(
         raise ValueError("rate_pct must be in [0, 100]")
     h = md5_long(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     return df.where(F.pmod(h, F.lit(100)) < rate_pct)
+
+
+def capped_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group cap: at most ``k`` rows per group, the
+    k whose md5(salt ‖ id) ranks smallest — a uniform-without-
+    replacement sample per group (source balancing: "no corpus
+    contributes more than k documents"), independent of partitioning
+    and identical on re-runs, unlike sampleBy.
+
+    Scale shape: ``row_number() ≤ k`` is planned as WindowGroupLimit —
+    every task keeps only its LOCAL top-k per group before the group
+    exchange, so the shuffle carries O(groups × k) rows, not the
+    corpus (plan-pinned by test_capped_sample_plan_group_limit).  The
+    id tiebreak makes the order total even under md5 collisions.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = md5_long(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
 
 
 def grouped_split(

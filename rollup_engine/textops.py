@@ -130,6 +130,32 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+# -------------------------------------------------------------- redaction
+
+# PII scrubbing rules for training corpora, applied in this order
+# (emails first — their digits must not fall through to the
+# number-run rule).  Patterns stay inside the regex subset RE2 and
+# Java share (no lookaround, no backrefs), so the DuckDB oracle runs
+# the IDENTICAL patterns; replacement is whole-match → tag.
+PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "[PHONE]"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    (r"[0-9]{8,}", "[NUM]"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / phone numbers / IPv4 addresses / long digit
+    runs with type tags — a chain of JVM regexp_replace Columns (one
+    codegen'd projection, no Python).  At corpus scale this is a
+    map-only pass: no shuffle, fully pushdown-compatible."""
+    out = text
+    for pat, tag in PII_RULES:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     comps = quality_components(t)

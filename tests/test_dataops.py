@@ -187,6 +187,38 @@ def test_token_counts(spark):
     assert out[4].b == 8
 
 
+def test_pii_redaction_rules(spark):
+    d = _docs(
+        spark,
+        [
+            "mail me at jane.doe+x@sub.example.org today",
+            "call 555-123-4567 or 555 123 4567",
+            "server 192.168.1.100 answered",
+            "order 123456789012 shipped",  # long digit run
+            "version 1.2.3 stays, year 2024 stays, 1234567 stays",
+            "",
+        ],
+    )
+    out = [
+        r.t for r in d.select(textops.redact_pii(F.col("text")).alias("t")).collect()
+    ]
+    assert out[0] == "mail me at [EMAIL] today"
+    assert out[1] == "call [PHONE] or [PHONE]"
+    assert out[2] == "server [IP] answered"
+    assert out[3] == "order [NUM] shipped"
+    # sub-threshold digits and dotted versions are NOT PII-shaped
+    assert out[4] == "version 1.2.3 stays, year 2024 stays, 1234567 stays"
+    assert out[5] == ""
+
+
+def test_pii_rule_order_email_digits_not_numbered(spark):
+    # the email rule must fire before the digit-run rule — otherwise
+    # the local part's digits become [NUM] and break the address match
+    d = _docs(spark, ["ping 12345678abc@example.com now"])
+    got = d.select(textops.redact_pii(F.col("text")).alias("t")).first().t
+    assert got == "ping [EMAIL] now"
+
+
 def test_multimodal_stub_determinism(spark):
     d = _docs(spark, [BASE, "short"])
     media = multimodal.media_from_documents(
@@ -317,6 +349,39 @@ def test_rp_signature_pandas_path_matches_expr(spark):
         ann._pandas_signature_udf(planes)(v).alias("s_pd"),
     ).collect()
     assert all(r.s_expr == r.s_pd for r in both)
+
+def test_capped_sample_semantics_and_stability(spark):
+    from rollup_engine.sampling import capped_per_group
+
+    d = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    kept1 = {r.doc_id for r in capped_per_group(d.repartition(1), "source", 7, "doc_id").collect()}
+    kept9 = {r.doc_id for r in capped_per_group(d.repartition(9), "source", 7, "doc_id").collect()}
+    assert kept1 == kept9 and len(kept1) == 21  # 3 sources × 7
+    # a group smaller than k passes through whole
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, source string")
+    assert capped_per_group(small, "source", 7, "doc_id").count() == 2
+
+
+def test_capped_sample_plan_group_limit(spark):
+    """rank ≤ k must plan as WindowGroupLimit (partial, before the
+    group exchange) so the shuffle carries O(groups×k), not the
+    corpus."""
+    from rollup_engine.sampling import capped_per_group
+
+    d = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    out = capped_per_group(d, "source", 7, "doc_id")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "extended"
+    )
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "WindowGroupLimit" in phys, phys
+    assert "Partial" in phys.split("WindowGroupLimit")[1][:200] or \
+        phys.count("WindowGroupLimit") >= 2, phys
+
 
 def test_deterministic_sample_stable_across_partitioning(spark):
     """The core claim vs df.sample: the kept set is a pure function of
