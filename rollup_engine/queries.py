@@ -345,6 +345,24 @@ def q_rollup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tiered_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention serving view (retention.stitch_tiers): all of history
+    at the finest retained resolution — minute buckets inside the 7-day
+    horizon, hour buckets back to 90 days, day buckets beyond; band
+    edges snapped to the coarser tier's boundary, bands disjoint."""
+    from .retention import stitch_tiers
+
+    d = _deltas(spark, sf_dir)
+    return stitch_tiers(
+        {
+            "minute": rollup(d, "minute"),
+            "hour": rollup(d, "hour"),
+            "day": rollup(d, "day"),
+        },
+        FILTER_NOW,
+    )
+
+
 def q_rollup_from_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star codec path, driver-verified end-to-end: transcripts →
     Gorilla/delta-of-delta chunk encode → decode → deltas → minute
@@ -1092,6 +1110,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_compacted": q_rollup_compacted,
     "rollup_zorder": q_rollup_zorder,
     "ingest_upsert": q_ingest_upsert,
+    "tiered_history": q_tiered_history,
     "rollup_sketch_minute": q_rollup_sketch_minute,
     "rollup_hour_cascade": q_rollup_hour_cascade,
     "rollup_day_cascade": q_rollup_day_cascade,
@@ -1167,6 +1186,7 @@ _DRIVER_TAIL = [
 _DRIVER_OVERFLOW = [
     "rollup_zorder",
     "ingest_upsert",
+    "tiered_history",
     "pii_redact",
     "source_cap_sample",
     "cusum_drift",
@@ -1421,6 +1441,33 @@ ORACLES: dict[str, str] = {
            {_METRICS_SQL}
     FROM d WHERE delta_ms IS NOT NULL
     GROUP BY 2
+    """,
+    # finest-retained-resolution serving view: disjoint per-tier bands,
+    # edges snapped to the coarser tier boundary (7d minute horizon =
+    # 604800 s, 90d hour horizon = 7776000 s — schema.TIERS)
+    "tiered_history": f"""{_DELTAS_CTE},
+    m AS (SELECT 'minute' AS tier, date_trunc('minute', ts) AS bucket_start,
+                 {_METRICS_SQL}
+          FROM d WHERE delta_ms IS NOT NULL GROUP BY 2),
+    h AS (SELECT 'hour' AS tier, date_trunc('hour', ts) AS bucket_start,
+                 {_METRICS_SQL}
+          FROM d WHERE delta_ms IS NOT NULL GROUP BY 2),
+    dy AS (SELECT 'day' AS tier, date_trunc('day', ts) AS bucket_start,
+                  {_METRICS_SQL}
+           FROM d WHERE delta_ms IS NOT NULL GROUP BY 2)
+    SELECT * FROM m
+    WHERE bucket_start >= date_trunc('hour',
+          TIMESTAMP '{FILTER_NOW}' - INTERVAL 604800 SECONDS)
+    UNION ALL
+    SELECT * FROM h
+    WHERE bucket_start >= date_trunc('day',
+          TIMESTAMP '{FILTER_NOW}' - INTERVAL 7776000 SECONDS)
+      AND bucket_start <  date_trunc('hour',
+          TIMESTAMP '{FILTER_NOW}' - INTERVAL 604800 SECONDS)
+    UNION ALL
+    SELECT * FROM dy
+    WHERE bucket_start < date_trunc('day',
+          TIMESTAMP '{FILTER_NOW}' - INTERVAL 7776000 SECONDS)
     """,
     # at-least-once replay collapsed to exactly-once: the re-delivered
     # (later-ts, edited-text) copy must win per key — same winner rule

@@ -120,6 +120,60 @@ def cascade(rollup_df: DataFrame, to_tier: str) -> DataFrame:
     )
 
 
+_TIER_SECS = {"minute": 60, "hour": 3600, "day": 86400}
+
+
+def stitch_tiers(tiers: dict[str, DataFrame], now) -> DataFrame:
+    """The serving view retention actually exists for: one relation
+    covering ALL of history at the finest resolution still retained —
+    recent time from the minute tier, the mid-range from the hour tier,
+    the deep past from the day tier (the TimescaleDB retention-policy +
+    continuous-aggregate composition; the reference has no tiers at all
+    — every query re-reads raw, README.md:126-147).
+
+    Band edges come from each tier's ``retention_buckets`` horizon,
+    TRUNCATED to the next-coarser tier's bucket boundary so no coarse
+    bucket straddles an edge (an un-snapped 90-day edge mid-day would
+    let one day bucket overlap the hour band — double counting).  Bands
+    are disjoint by construction: tier i serves
+    [trunc(now − horizon_i), previous band's lower edge).
+
+    Scale shape: pure per-tier bucket_start range filters (partition-
+    prunable on materialized ds-partitioned tiers) + UNION ALL — no
+    join, no shuffle beyond what built the tiers.
+    """
+    order = [t for t in ("minute", "hour", "day") if t in tiers]
+    if not order:
+        raise ValueError("need at least one of minute/hour/day")
+    now_ts = F.lit(now).cast("timestamp")
+    out = None
+    hi = None  # exclusive upper edge of the current band (None = +inf)
+    for i, name in enumerate(order):
+        t = TIERS[name]
+        last = i == len(order) - 1
+        if t.retention_buckets is None or last:
+            lo = None  # keep-forever tier closes the cascade
+        else:
+            coarser = TIERS[order[i + 1]]
+            lo = F.date_trunc(
+                coarser.duckdb_trunc,
+                now_ts
+                - F.expr(
+                    f"INTERVAL {t.retention_buckets * _TIER_SECS[name]} SECONDS"
+                ),
+            )
+        df = tiers[name]
+        if lo is not None:
+            df = df.where(F.col("bucket_start") >= lo)
+        if hi is not None:
+            df = df.where(F.col("bucket_start") < hi)
+        out = df if out is None else out.unionByName(df)
+        hi = lo
+        if lo is None:
+            break  # a keep-forever tier already covers the rest
+    return out
+
+
 def expire(rollup_df: DataFrame, tier: str, now) -> DataFrame:
     """Retention: drop buckets older than the tier's horizon."""
     t = TIERS[tier]

@@ -185,3 +185,39 @@ def test_retention_expiry(spark):
     # only buckets >= Feb 1
     kept = expire(minute, "minute", dt.datetime(2024, 2, 8))
     assert kept.count() == minute.where("bucket_start >= '2024-02-01'").count()
+
+
+def test_stitch_tiers_bands_disjoint_and_edge_snapped(spark):
+    """stitch_tiers with an UNALIGNED now: the minute/hour edge must
+    snap DOWN to an hour boundary (no hour bucket straddles it), bands
+    must be disjoint, and the union must equal the per-band counts."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from rollup_engine.retention import stitch_tiers
+    from rollup_engine.rollup import rollup
+
+    d = _deltas(spark)
+    tiers = {
+        "minute": rollup(d, "minute"),
+        "hour": rollup(d, "hour"),
+        "day": rollup(d, "day"),
+    }
+    now = dt.datetime(2024, 1, 20, 13, 37, 42)  # mid-hour, mid-minute
+    out = stitch_tiers(tiers, now).cache()
+    edge = dt.datetime(2024, 1, 13, 13, 0, 0)  # trunc('hour', now-7d)
+    mins = out.where("tier = 'minute'")
+    hours = out.where("tier = 'hour'")
+    assert mins.where(F.col("bucket_start") < F.lit(edge)).count() == 0
+    assert hours.where(F.col("bucket_start") >= F.lit(edge)).count() == 0
+    # exact band contents: every retained source bucket appears
+    assert mins.count() == tiers["minute"].where(
+        F.col("bucket_start") >= F.lit(edge)
+    ).count()
+    assert hours.count() == tiers["hour"].where(
+        F.col("bucket_start") < F.lit(edge)
+    ).count()
+    # Jan-only data, 90-day hour horizon → the day band is empty
+    assert out.where("tier = 'day'").count() == 0
+    out.unpersist()
