@@ -363,6 +363,15 @@ def q_tiered_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE multiwindow burn-rate alerts (tsops.burn_rate_alerts): 5xx
+    rate over trailing 60 min > 3×SLO AND over trailing 5 min > 6×SLO
+    (SLO = 5%); pure integer cross-multiplication — no float rate."""
+    from .tsops import burn_rate_alerts
+
+    return burn_rate_alerts(from_events(spark, sf_dir))
+
+
 def q_rollup_from_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star codec path, driver-verified end-to-end: transcripts →
     Gorilla/delta-of-delta chunk encode → decode → deltas → minute
@@ -1111,6 +1120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_zorder": q_rollup_zorder,
     "ingest_upsert": q_ingest_upsert,
     "tiered_history": q_tiered_history,
+    "burn_rate": q_burn_rate,
     "rollup_sketch_minute": q_rollup_sketch_minute,
     "rollup_hour_cascade": q_rollup_hour_cascade,
     "rollup_day_cascade": q_rollup_day_cascade,
@@ -1187,6 +1197,7 @@ _DRIVER_OVERFLOW = [
     "rollup_zorder",
     "ingest_upsert",
     "tiered_history",
+    "burn_rate",
     "pii_redact",
     "source_cap_sample",
     "cusum_drift",
@@ -1441,6 +1452,36 @@ ORACLES: dict[str, str] = {
            {_METRICS_SQL}
     FROM d WHERE delta_ms IS NOT NULL
     GROUP BY 2
+    """,
+    # multiwindow burn rate: integer cross-multiplied thresholds
+    # (SLO 5/100; long 60 min × 3 → err*100 > 15*cnt; short 5 min × 6
+    # → err*100 > 30*cnt); RANGE frames on integer epoch-minutes so
+    # empty minutes contribute nothing in both engines
+    "burn_rate": f"""{_TRANSCRIPTS_CTE},
+    b AS (
+        SELECT epoch_us(ts) // 60000000 AS m,
+               count(*) AS cnt,
+               CAST(sum(CASE WHEN tool LIKE 'error:5%' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS err
+        FROM t GROUP BY 1
+    ),
+    w AS (
+        SELECT m,
+               CAST(sum(cnt) OVER lw AS BIGINT) AS cnt_long,
+               CAST(sum(err) OVER lw AS BIGINT) AS err_long,
+               CAST(sum(cnt) OVER sw AS BIGINT) AS cnt_short,
+               CAST(sum(err) OVER sw AS BIGINT) AS err_short
+        FROM b
+        WINDOW lw AS (ORDER BY m RANGE BETWEEN 59 PRECEDING AND CURRENT ROW),
+               sw AS (ORDER BY m RANGE BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT make_timestamp(m * 60000000) AS bucket_start,
+           cnt_long, err_long, cnt_short, err_short,
+           (err_long * 100) > (15 * cnt_long) AS alert_long,
+           (err_short * 100) > (30 * cnt_short) AS alert_short,
+           ((err_long * 100) > (15 * cnt_long)
+            AND (err_short * 100) > (30 * cnt_short)) AS alert
+    FROM w
     """,
     # finest-retained-resolution serving view: disjoint per-tier bands,
     # edges snapped to the coarser tier boundary (7d minute horizon =

@@ -1406,3 +1406,84 @@ def sax_words(
             ).alias("word"),
         )
     )
+
+
+# ------------------------------------------------------- burn-rate alerts
+
+
+def burn_rate_alerts(
+    df: DataFrame,
+    err_prefix: str = "error:5",
+    slo_num: int = 5,
+    slo_den: int = 100,
+    long_minutes: int = 60,
+    short_minutes: int = 5,
+    long_factor: int = 3,
+    short_factor: int = 6,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Multiwindow error-budget burn-rate alerting (the SRE-workbook
+    multiburn pattern): per minute tick, the error rate over a LONG
+    trailing window must exceed ``long_factor`` × SLO *and* the rate
+    over a SHORT window must exceed ``short_factor`` × SLO — the long
+    window keeps alerts from flapping on single bad minutes, the short
+    window makes them reset quickly once the incident ends.
+
+    Exactness: burn comparisons are pure integer cross-multiplication
+    (``err × slo_den > factor × slo_num × cnt``) — no float rate, no
+    rounding, so the DuckDB oracle matches bit-for-bit.
+
+    Scale shape: one map-combinable minute pre-aggregate (the raw-data
+    pass), then integer RANGE-frame running sums over the per-minute
+    relation.  That second window is global-ordered but CALENDAR-
+    BOUNDED — it runs over at most one row per minute (525 600/year),
+    never over raw turns; the same justification as gap-fill's pass-2
+    relation.  Minute gaps are handled by the RANGE (not ROWS) frame:
+    the frame is keyed on the integer epoch-minute, so an empty minute
+    simply contributes nothing.
+    """
+    minute_us = 60_000_000
+    base = (
+        df.groupBy(
+            F.floor(
+                F.unix_micros(F.col(ts_col).cast("timestamp"))
+                / F.lit(minute_us)
+            )
+            .cast("long")
+            .alias("_m")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.when(
+                    F.col("tool").startswith(err_prefix), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("err"),
+        )
+    )
+    w_long = Window.orderBy("_m").rangeBetween(-(long_minutes - 1), 0)
+    w_short = Window.orderBy("_m").rangeBetween(-(short_minutes - 1), 0)
+    out = base.withColumns(
+        {
+            "cnt_long": F.sum("cnt").over(w_long),
+            "err_long": F.sum("err").over(w_long),
+            "cnt_short": F.sum("cnt").over(w_short),
+            "err_short": F.sum("err").over(w_short),
+        }
+    )
+    alert_long = (out["err_long"] * slo_den) > (
+        long_factor * slo_num * out["cnt_long"]
+    )
+    alert_short = (out["err_short"] * slo_den) > (
+        short_factor * slo_num * out["cnt_short"]
+    )
+    return out.select(
+        F.timestamp_micros(F.col("_m") * minute_us).alias("bucket_start"),
+        "cnt_long",
+        "err_long",
+        "cnt_short",
+        "err_short",
+        alert_long.alias("alert_long"),
+        alert_short.alias("alert_short"),
+        (alert_long & alert_short).alias("alert"),
+    )

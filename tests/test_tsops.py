@@ -1497,3 +1497,42 @@ def test_sax_words_pinned(spark):
 
     with pytest.raises(ValueError):
         sax_words(df, "value", by=["k"], alphabet=27)
+
+
+def test_burn_rate_multiwindow_fires_and_resets(spark):
+    """Crafted incident: a steady low-error baseline, then a 10-minute
+    full-outage burst.  The combined alert must fire only while BOTH
+    the 60-min and 5-min burns exceed their thresholds — i.e. during
+    the burst — and reset within the short window after it ends, even
+    though the long window is still polluted."""
+    import datetime as dt
+
+    from rollup_engine.tsops import burn_rate_alerts
+
+    rows = []
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    for m in range(120):
+        ts = base + dt.timedelta(minutes=m)
+        outage = 30 <= m < 40
+        for i in range(10):
+            tool = "error:500" if (outage or i == 0) else "ok"
+            rows.append(("c", m * 10 + i, "user", "x", tool, ts))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {
+        r.bucket_start.minute + 60 * r.bucket_start.hour: r
+        for r in burn_rate_alerts(df).collect()
+    }
+    assert len(out) == 120
+    # baseline 10% 5xx: short burn = 2×SLO < 6×SLO → never alerts alone
+    assert not out[10].alert
+    # during the outage both windows exceed (short rate 1.0, long ≥ .15
+    # once a few outage minutes accumulate)
+    assert out[39].alert_short and out[39].alert
+    # five minutes after the outage the short window is clean again →
+    # combined alert resets even though the long window still burns
+    assert out[50].alert_long and not out[50].alert_short
+    assert not out[50].alert
