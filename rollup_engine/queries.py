@@ -1138,6 +1138,7 @@ from .queries_pipeline import (  # noqa: E402
     q_stream_minute,
     q_stream_sessionize,
     q_stream_alerts,
+    q_stream_burn_rate,
     q_stream_sliding,
 )
 
@@ -1146,6 +1147,7 @@ QUERIES["stream_minute"] = q_stream_minute
 QUERIES["stream_sessionize"] = q_stream_sessionize
 QUERIES["stream_sliding"] = q_stream_sliding
 QUERIES["stream_alerts"] = q_stream_alerts
+QUERIES["stream_burn_rate"] = q_stream_burn_rate
 QUERIES["incremental_minute"] = q_incremental_minute
 QUERIES["realtime_rollup"] = q_realtime_rollup
 
@@ -1207,6 +1209,7 @@ _DRIVER_OVERFLOW = [
     "cube_rollup",
     "time_weighted_percentile",
     "stream_alerts",
+    "stream_burn_rate",
     "pivot_roles",
     "vocab_topk",
     "asof_join_tolerance",
@@ -1709,6 +1712,10 @@ FROM s GROUP BY 1, 2"""
 # Streaming sessionization must equal the batch operator exactly —
 # same oracle, different execution mode (session_window + watermark).
 ORACLES["stream_sessionize"] = ORACLES["sessionize"]
+
+# Continuous-mode burn rate must equal the batch evaluation exactly —
+# same oracle, the stream only swaps in the materialized minute feed.
+ORACLES["stream_burn_rate"] = ORACLES["burn_rate"]
 
 # Keyed hist-engine rollup must equal the plain SQL keyed rollup —
 # same oracle, different engine (the sketch/cascade-gate precedent).

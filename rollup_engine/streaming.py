@@ -323,6 +323,54 @@ def run_sliding_stream_once(
     q.awaitTermination()
 
 
+def stream_minute_errors(
+    turns: DataFrame,
+    err_prefix: str = "error:5",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked per-minute (cnt, err) counts over the raw turn
+    stream — the continuous feed for the burn-rate evaluator
+    (tsops.burn_from_minutes): the stream materializes ONLY this tiny
+    relation; the trailing burn windows read it, never raw turns.
+    Same plan family as the batch pre-aggregate inside
+    tsops.burn_rate_alerts (one map-combinable count per minute)."""
+    return (
+        turns.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), "1 minute").alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.when(
+                    F.col("tool").startswith(err_prefix), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("err"),
+        )
+        .select(F.col("_w.start").alias("bucket_start"), "cnt", "err")
+    )
+
+
+def run_burn_stream_once(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_files: int = 64,
+) -> None:
+    """One availableNow pass materializing the per-minute error counts
+    (same file choreography as ``run_stream_once``)."""
+    turns = read_turn_stream(spark, input_dir, max_files=max_files)
+    counts = stream_minute_errors(turns)
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # ------------------------------------------------ stateful alerting
 
 _ALERT_OUT = T.StructType(

@@ -1443,7 +1443,7 @@ def burn_rate_alerts(
     simply contributes nothing.
     """
     minute_us = 60_000_000
-    base = (
+    minutes = (
         df.groupBy(
             F.floor(
                 F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -1460,6 +1460,44 @@ def burn_rate_alerts(
                 ).otherwise(F.lit(0))
             ).alias("err"),
         )
+        .select(
+            F.timestamp_micros(F.col("_m") * minute_us).alias(
+                "bucket_start"
+            ),
+            "cnt",
+            "err",
+        )
+    )
+    return burn_from_minutes(
+        minutes,
+        slo_num=slo_num,
+        slo_den=slo_den,
+        long_minutes=long_minutes,
+        short_minutes=short_minutes,
+        long_factor=long_factor,
+        short_factor=short_factor,
+    )
+
+
+def burn_from_minutes(
+    minutes: DataFrame,
+    slo_num: int = 5,
+    slo_den: int = 100,
+    long_minutes: int = 60,
+    short_minutes: int = 5,
+    long_factor: int = 3,
+    short_factor: int = 6,
+) -> DataFrame:
+    """Burn evaluation over an already-materialized per-minute
+    (bucket_start, cnt, err) relation — the continuous-mode entry
+    point: a stream (streaming.stream_minute_errors) or the minute
+    tier feeds the SAME windows and thresholds the batch path uses."""
+    minute_us = 60_000_000
+    base = minutes.withColumn(
+        "_m",
+        F.floor(F.unix_micros(F.col("bucket_start")) / F.lit(minute_us)).cast(
+            "long"
+        ),
     )
     w_long = Window.orderBy("_m").rangeBetween(-(long_minutes - 1), 0)
     w_short = Window.orderBy("_m").rangeBetween(-(short_minutes - 1), 0)
@@ -1478,7 +1516,7 @@ def burn_rate_alerts(
         short_factor * slo_num * out["cnt_short"]
     )
     return out.select(
-        F.timestamp_micros(F.col("_m") * minute_us).alias("bucket_start"),
+        "bucket_start",
         "cnt_long",
         "err_long",
         "cnt_short",
