@@ -363,6 +363,32 @@ def q_tiered_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation analytics profile in ONE pass over the pair
+    state: volume, wall-clock span, distinct tools, truncated mean
+    inter-turn latency, error mix — the whole-conversation audit row a
+    transcript store serves next to the time tiers.  Single groupBy
+    (partial-aggregated; count_distinct is the only two-phase term).
+    keep_first_turn: the profile counts every turn — the first turn's
+    null delta is simply ignored by AVG, in both engines."""
+    d = with_deltas(from_events(spark, sf_dir), keep_first_turn=True)
+    err = F.when(F.col("tool").startswith("error:"), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    return d.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1000000.0)
+        ).alias("duration_sec"),
+        F.count_distinct(F.col("tool")).alias("n_tools"),
+        F.floor(F.avg("delta_ms")).cast("long").alias("lat_avg_ms"),
+        F.round(F.avg(err), 4).alias("err_rate"),
+    )
+
+
 def q_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRE multiwindow burn-rate alerts (tsops.burn_rate_alerts): 5xx
     rate over trailing 60 min > 3×SLO AND over trailing 5 min > 6×SLO
@@ -1121,6 +1147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_upsert": q_ingest_upsert,
     "tiered_history": q_tiered_history,
     "burn_rate": q_burn_rate,
+    "conv_profile": q_conv_profile,
     "rollup_sketch_minute": q_rollup_sketch_minute,
     "rollup_hour_cascade": q_rollup_hour_cascade,
     "rollup_day_cascade": q_rollup_day_cascade,
@@ -1200,6 +1227,7 @@ _DRIVER_OVERFLOW = [
     "ingest_upsert",
     "tiered_history",
     "burn_rate",
+    "conv_profile",
     "pii_redact",
     "source_cap_sample",
     "cusum_drift",
@@ -1455,6 +1483,20 @@ ORACLES: dict[str, str] = {
            {_METRICS_SQL}
     FROM d WHERE delta_ms IS NOT NULL
     GROUP BY 2
+    """,
+    # one-pass per-conversation profile over the pair state
+    "conv_profile": f"""{_DELTAS_CTE}
+    SELECT conv_id,
+           count(*) AS n_turns,
+           min(ts) AS first_ts,
+           max(ts) AS last_ts,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0
+               AS duration_sec,
+           count(DISTINCT tool) AS n_tools,
+           CAST(FLOOR(AVG(delta_ms)) AS BIGINT) AS lat_avg_ms,
+           ROUND(AVG(CASE WHEN tool LIKE 'error:%' THEN 1.0 ELSE 0.0 END), 4)
+               AS err_rate
+    FROM d GROUP BY 1
     """,
     # multiwindow burn rate: integer cross-multiplied thresholds
     # (SLO 5/100; long 60 min × 3 → err*100 > 15*cnt; short 5 min × 6
