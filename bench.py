@@ -874,6 +874,26 @@ def run_zorder_leg(turns: int | None = None) -> dict:
         finally:
             spark.conf.unset(key)
 
+    tpath = os.path.join(REPO, ".benchdata", f"zorder_tsort_{n}")
+    if not os.path.exists(os.path.join(tpath, "_SUCCESS")):
+        # the single-axis rival: plain time-sorted files — wins the
+        # pure time probe, surrenders the conv axis entirely
+        key = "spark.sql.parquet.outputTimestampType"
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            (
+                plain.withColumn(
+                    ZORDER_HASH_COL,
+                    F.pmod(F.xxhash64("conv_id"), F.lit(65536)),
+                )
+                .repartitionByRange(64, "ts")
+                .sortWithinPartitions("ts")
+                .write.mode("overwrite")
+                .parquet(tpath)
+            )
+        finally:
+            spark.conf.unset(key)
+
     import datetime
 
     t_lo = datetime.datetime(2024, 1, 1, 12, 0, 0)
@@ -908,6 +928,20 @@ def run_zorder_leg(turns: int | None = None) -> dict:
             )
         )
 
+    def both_probe(path):
+        df = spark.read.parquet(path).where(
+            (F.col("ts") >= F.lit(t_lo))
+            & (F.col("ts") < F.lit(t_hi))
+            & F.col(ZORDER_HASH_COL).isin(hashes)
+            & F.col("conv_id").isin(convs)
+        )
+        return lambda: _force(
+            df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("text")).alias("chars"),
+            )
+        )
+
     def t_overlap(stats):
         lo, hi = stats.get("ts", (None, None))
         if lo is None:
@@ -920,31 +954,34 @@ def run_zorder_leg(turns: int | None = None) -> dict:
         lo, hi = stats.get(ZORDER_HASH_COL, (None, None))
         return lo is None or any(lo <= h <= hi for h in hashes)
 
+    def both_overlap(stats):
+        return t_overlap(stats) and c_overlap(stats)
+
     hw = _hw_rate(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    layouts = (("zorder", zpath), ("tsort", tpath), ("naive", npath))
     result = {"turns": n, "hw_chunks_per_sec": round(hw, 2), "probes": {}}
     for probe_name, mk, ov in (
         ("time_slice_30min", time_probe, t_overlap),
         ("conv_fetch_4ids", conv_probe, c_overlap),
+        ("time_and_conv", both_probe, both_overlap),
     ):
-        mk(zpath)()  # warm both plan shapes once, untimed
-        mk(npath)()
-        tz, tn = [], []
+        for _, p in layouts:
+            mk(p)()  # warm every plan shape once, untimed
+        times = {name: [] for name, _ in layouts}
         for _ in range(3):
-            tz.append(_timed(mk(zpath)))
-            tn.append(_timed(mk(npath)))
-        zh, zt = _rg_hit_fraction(zpath, ov)
-        nh, nt = _rg_hit_fraction(npath, ov)
-        result["probes"][probe_name] = {
-            "zorder_sec": round(min(tz), 3),
-            "naive_sec": round(min(tn), 3),
-            "speedup": round(min(tn) / min(tz), 3),
-            "zorder_rg_touched": f"{zh}/{zt}",
-            "naive_rg_touched": f"{nh}/{nt}",
-            "zorder_rg_fraction": round(zh / zt, 3),
-            "naive_rg_fraction": round(nh / nt, 3),
-            "zorder_all": [round(x, 3) for x in tz],
-            "naive_all": [round(x, 3) for x in tn],
-        }
+            for name, p in layouts:
+                times[name].append(_timed(mk(p)))
+        entry = {}
+        for name, p in layouts:
+            h, tot = _rg_hit_fraction(p, ov)
+            entry[f"{name}_sec"] = round(min(times[name]), 3)
+            entry[f"{name}_rg_touched"] = f"{h}/{tot}"
+            entry[f"{name}_rg_fraction"] = round(h / tot, 3)
+            entry[f"{name}_all"] = [round(x, 3) for x in times[name]]
+        entry["speedup_vs_naive"] = round(
+            entry["naive_sec"] / entry["zorder_sec"], 3
+        )
+        result["probes"][probe_name] = entry
     _write_cache(_ZORDER_CACHE, result)
     return result
 
@@ -954,26 +991,28 @@ def _zorder_lines(m: dict) -> list[str]:
         "",
         "## Z-order (Morton) layout probes",
         "",
-        f"Two probe queries over {m['turns']:,} turns, one z-ordered "
-        "copy (`ingest.write_zorder_table`, the OPTIMIZE ZORDER BY "
-        "analog) vs a round-robin copy with identical columns and "
-        "encoding.  Row-groups-touched is footer min/max pruning — at "
-        "100 TB those are bytes never read from object storage; wall "
-        "sec here is page-cache-warm local[32] (decode work saved), "
-        f"min-of-3, window capacity {m['hw_chunks_per_sec']} chunks/s.",
+        f"Three probe queries over {m['turns']:,} turns on three copies "
+        "with identical columns and encoding: z-ordered "
+        "(`ingest.write_zorder_table`, the OPTIMIZE ZORDER BY analog), "
+        "time-sorted (the single-axis rival), round-robin (no layout). "
+        "Row-groups-touched is footer min/max pruning — at 100 TB those "
+        "are bytes never read from object storage; wall sec is "
+        "page-cache-warm local[32] (decode work saved), min-of-3, "
+        f"window capacity {m['hw_chunks_per_sec']} chunks/s.",
         "",
         "| probe | layout | sec | row groups touched | reps |",
         "|---|---|---|---|---|",
     ]
+    label = {"zorder": "z-order", "tsort": "time-sorted", "naive": "round-robin"}
     for pname, r in m["probes"].items():
-        lines += [
-            f"| {pname} | z-order | {r['zorder_sec']} | "
-            f"{r['zorder_rg_touched']} ({r['zorder_rg_fraction']:.0%}) | "
-            f"{r['zorder_all']} |",
-            f"| {pname} | round-robin | {r['naive_sec']} | "
-            f"{r['naive_rg_touched']} ({r['naive_rg_fraction']:.0%}) | "
-            f"{r['naive_all']} |",
-        ]
+        for k in ("zorder", "tsort", "naive"):
+            if f"{k}_sec" not in r:
+                continue
+            lines.append(
+                f"| {pname} | {label[k]} | {r[f'{k}_sec']} | "
+                f"{r[f'{k}_rg_touched']} ({r[f'{k}_rg_fraction']:.0%}) | "
+                f"{r[f'{k}_all']} |"
+            )
     lines += ["", m.get("conclusion", "")]
     return lines
 
