@@ -389,6 +389,17 @@ def q_conv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-contract audit (audit.quality_audit): per-invariant
+    violation counts in ONE conditional-sum aggregate over one scan —
+    the measured version of the reference's silent drop counter."""
+    from .audit import quality_audit, transcript_rules
+
+    return quality_audit(
+        from_events(spark, sf_dir), transcript_rules(FILTER_NOW)
+    )
+
+
 def q_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRE multiwindow burn-rate alerts (tsops.burn_rate_alerts): 5xx
     rate over trailing 60 min > 3×SLO AND over trailing 5 min > 6×SLO
@@ -1148,6 +1159,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tiered_history": q_tiered_history,
     "burn_rate": q_burn_rate,
     "conv_profile": q_conv_profile,
+    "data_audit": q_data_audit,
     "rollup_sketch_minute": q_rollup_sketch_minute,
     "rollup_hour_cascade": q_rollup_hour_cascade,
     "rollup_day_cascade": q_rollup_day_cascade,
@@ -1228,6 +1240,7 @@ _DRIVER_OVERFLOW = [
     "tiered_history",
     "burn_rate",
     "conv_profile",
+    "data_audit",
     "pii_redact",
     "source_cap_sample",
     "cusum_drift",
@@ -1483,6 +1496,38 @@ ORACLES: dict[str, str] = {
            {_METRICS_SQL}
     FROM d WHERE delta_ms IS NOT NULL
     GROUP BY 2
+    """,
+    # ingest-contract audit: one conditional-sum aggregate, unpivoted
+    "data_audit": f"""{_TRANSCRIPTS_CTE},
+    s AS (
+        SELECT count(*) AS n,
+          CAST(sum(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS v_null_conv_id,
+          CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS v_null_ts,
+          CAST(sum(CASE WHEN turn_idx < 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS v_negative_turn_idx,
+          CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS v_null_text,
+          CAST(sum(CASE WHEN COALESCE(text, '') = '' THEN 1 ELSE 0 END)
+               AS BIGINT) AS v_empty_text,
+          CAST(sum(CASE WHEN tool LIKE 'error:%' THEN 1 ELSE 0 END)
+               AS BIGINT) AS v_error_tool,
+          CAST(sum(CASE WHEN ts > TIMESTAMP '{FILTER_NOW}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS v_future_ts
+        FROM t
+    )
+    SELECT r.rule, s.n AS n_rows, r.v AS n_violations,
+           round(CAST(r.v AS DOUBLE) / s.n, 4) AS violation_rate
+    FROM s, LATERAL (VALUES
+        ('null_conv_id', v_null_conv_id),
+        ('null_ts', v_null_ts),
+        ('negative_turn_idx', v_negative_turn_idx),
+        ('null_text', v_null_text),
+        ('empty_text', v_empty_text),
+        ('error_tool', v_error_tool),
+        ('future_ts', v_future_ts)
+    ) AS r(rule, v)
     """,
     # one-pass per-conversation profile over the pair state
     "conv_profile": f"""{_DELTAS_CTE}
