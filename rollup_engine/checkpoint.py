@@ -26,8 +26,13 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotExpiredError(RuntimeError):
+    """A read requested snapshots whose data files were expired."""
 
 
 class SnapshotStore:
@@ -100,7 +105,70 @@ class SnapshotStore:
         ms = self.manifests()
         return ms[-1]["snapshot_id"] if ms else 0
 
+    def max_expired_id(self) -> int:
+        return max(
+            (m["snapshot_id"] for m in self.manifests() if m.get("expired")),
+            default=0,
+        )
+
+    def expire_snapshots(self, up_to: int, applied_watermark: int) -> dict:
+        """Iceberg ``expire_snapshots`` analog, gated on the refresh
+        watermark: data files of snapshots ≤ ``up_to`` are deleted ONLY
+        if the incremental job has already applied them
+        (``applied_watermark`` = IncrementalRollup.checkpoint()
+        ["snapshot_id"]) — their aggregate contribution lives on in the
+        rollup tiers, so the raw bytes are storage the 10^12-turn
+        deployment must be able to reclaim.  Each expired manifest is
+        rewritten in place as a TOMBSTONE (files emptied, lineage and
+        metrics kept, ``expired`` flag set) with the same atomic
+        tmp+rename commit as append; resume/refresh and reads strictly
+        after the expired range keep working, while time-travel into it
+        fails fast (SnapshotExpiredError) instead of silently returning
+        partial data."""
+        if up_to > applied_watermark:
+            raise ValueError(
+                f"refusing to expire snapshot {up_to}: refresh watermark "
+                f"is {applied_watermark} — unapplied raw data would be lost"
+            )
+        removed_files = removed_rows = expired = 0
+        for m in self.manifests():
+            sid = m["snapshot_id"]
+            if sid > up_to or m.get("expired"):
+                continue
+            for rel in m["files"]:
+                p = os.path.join(self.root, rel)
+                if os.path.exists(p):
+                    os.remove(p)
+                removed_files += 1
+            removed_rows += sum(s["rows"] for s in m["lineage"].values())
+            shutil.rmtree(
+                os.path.join(self.root, "data", f"s{sid:08d}"),
+                ignore_errors=True,
+            )
+            m["expired"] = True
+            m["files"] = []
+            tmp = os.path.join(
+                self.root, "_manifests", f".v{sid:08d}.json.tmp"
+            )
+            final = os.path.join(self.root, "_manifests", f"v{sid:08d}.json")
+            with open(tmp, "w") as f:
+                json.dump(m, f, indent=1, sort_keys=True)
+            os.rename(tmp, final)
+            expired += 1
+        return {
+            "expired_snapshots": expired,
+            "removed_files": removed_files,
+            "removed_rows": removed_rows,
+        }
+
     def _files_between(self, since: int, until: int | None) -> list[str]:
+        exp = self.max_expired_id()
+        if since < exp:
+            raise SnapshotExpiredError(
+                f"snapshots ≤ {exp} are expired; cannot read range "
+                f"({since}, {until}] — the rollup tiers carry that "
+                "history"
+            )
         files = []
         for m in self.manifests():
             if m["snapshot_id"] > since and (

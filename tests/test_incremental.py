@@ -192,3 +192,51 @@ def test_rollup_diff_statuses(spark):
         "2024-01-01 02:00:00": ("removed", -3),
         "2024-01-01 03:00:00": ("added", 2),
     }
+
+
+def test_expire_snapshots_reclaims_applied_raw(spark, data):
+    """Iceberg expire_snapshots analog: applied snapshots' raw files
+    are deleted, the refresh continues unharmed (their contribution
+    already lives in the tiers), later appends still refresh to the
+    batch answer, and time-travel into the expired range fails fast."""
+    from rollup_engine.checkpoint import SnapshotExpiredError
+
+    full, b1, b2, store, work = data
+    b1a = b1.where("turn_idx < 10")
+    b1b = b1.where("turn_idx >= 10")
+    store.append(b1a)
+    store.append(b1b)
+    job = IncrementalRollup(store, work)
+    job.refresh(spark)
+    job.refresh(spark)
+    ck = job.checkpoint()["snapshot_id"]
+    assert ck == 2
+
+    # unapplied snapshots are protected
+    with pytest.raises(ValueError):
+        store.expire_snapshots(up_to=ck + 1, applied_watermark=ck)
+
+    res = store.expire_snapshots(up_to=ck, applied_watermark=ck)
+    assert res["expired_snapshots"] == 2 and res["removed_files"] > 0
+    assert not os.path.exists(os.path.join(store.root, "data", "s00000001"))
+    # tombstones keep lineage, drop files
+    ms = store.manifests()
+    assert all(m["expired"] and m["files"] == [] for m in ms[:2])
+    assert all("lineage" in m and m["lineage"] for m in ms[:2])
+
+    # time-travel into the expired range fails fast
+    with pytest.raises(SnapshotExpiredError):
+        store.read(spark, as_of=1)
+    with pytest.raises(SnapshotExpiredError):
+        store.read(spark)  # full read includes expired range
+
+    # the pipeline keeps going: new data appends + refreshes to the
+    # exact batch answer over ALL history (expired raw included via
+    # the already-merged tiers)
+    store.append(b2)
+    job.refresh(spark)
+    got = _pdf(job.read_rollup(spark))
+    want = _pdf(hist_rollup(with_deltas(clean(full)), "minute"))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
