@@ -389,6 +389,25 @@ def q_conv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-flow transition matrix: (tool → next tool) counts
+    per adjacent turn pair — one lead window on the conv exchange the
+    engine already pays, then a partial-aggregated count.  NULL tools
+    group as '(none)' so the matrix is total."""
+    from pyspark.sql import Window
+
+    t = from_events(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tool = F.coalesce(F.col("tool"), F.lit("(none)"))
+    d = t.select(
+        tool.alias("from_tool"),
+        F.lead(tool).over(w).alias("to_tool"),
+    ).where(F.col("to_tool").isNotNull())
+    return d.groupBy("from_tool", "to_tool").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
 def q_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-contract audit (audit.quality_audit): per-invariant
     violation counts in ONE conditional-sum aggregate over one scan —
@@ -1160,6 +1179,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "burn_rate": q_burn_rate,
     "conv_profile": q_conv_profile,
     "data_audit": q_data_audit,
+    "tool_transitions": q_tool_transitions,
     "rollup_sketch_minute": q_rollup_sketch_minute,
     "rollup_hour_cascade": q_rollup_hour_cascade,
     "rollup_day_cascade": q_rollup_day_cascade,
@@ -1241,6 +1261,7 @@ _DRIVER_OVERFLOW = [
     "burn_rate",
     "conv_profile",
     "data_audit",
+    "tool_transitions",
     "pii_redact",
     "source_cap_sample",
     "cusum_drift",
@@ -1496,6 +1517,19 @@ ORACLES: dict[str, str] = {
            {_METRICS_SQL}
     FROM d WHERE delta_ms IS NOT NULL
     GROUP BY 2
+    """,
+    # conversation-flow transition matrix over adjacent turn pairs
+    "tool_transitions": f"""{_TRANSCRIPTS_CTE},
+    p AS (
+        SELECT COALESCE(tool, '(none)') AS from_tool,
+               LEAD(COALESCE(tool, '(none)')) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+               ) AS to_tool
+        FROM t
+    )
+    SELECT from_tool, to_tool, count(*) AS n_transitions
+    FROM p WHERE to_tool IS NOT NULL
+    GROUP BY 1, 2
     """,
     # ingest-contract audit: one conditional-sum aggregate, unpivoted
     "data_audit": f"""{_TRANSCRIPTS_CTE},
