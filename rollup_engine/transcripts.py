@@ -32,14 +32,29 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver testdata ``events`` → transcript schema.
 
-    The window shuffles once on ``user_id``; every downstream per-conv
+    The window shuffles once on ``conv_id``; every downstream per-conv
     operator (deltas) reuses that partitioning, so the whole
-    scan→turn_idx→lag pipeline is a single exchange.
+    scan→turn_idx→lag pipeline is a single exchange.  The mapping
+    window must key on the ALIASED string attribute, not raw
+    ``user_id``: keying on user_id (or on the cast expression inline —
+    Spark extracts it to an internal ``_w0`` the alias tracker cannot
+    map) leaves the row_number output hash-partitioned on a key the
+    downstream conv_id window cannot reuse, and the whole suite pays a
+    second full-row exchange (caught by the BENCH/PLANS.md audit;
+    pinned by test_from_events_single_exchange).  The cast is
+    injective, so the groups — and row_number — are identical.
     """
     ev = load_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
+    base = ev.select(
         F.col("user_id").cast("string").alias("conv_id"),
+        "ts",
+        "event_id",
+        "event_type",
+        "props",
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    return base.select(
+        "conv_id",
         (F.row_number().over(w) - F.lit(1)).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
         F.col("props").alias("text"),

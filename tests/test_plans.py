@@ -224,9 +224,10 @@ def test_cube_rollup_single_expand_single_exchange(spark):
     )
     plan = _plan(out)
     assert len(re.findall(r"^\(\d+\) Expand", plan, re.M)) == 1, plan
-    # exchanges: two for the transcript windows (row_number, lag) plus
+    # exchanges: ONE shared transcript window exchange (row_number and
+    # lag both key on conv_id — round-5 single-exchange fix) plus
     # exactly ONE for the cube aggregation
-    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 3, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2, plan
     # final agg ← exchange ← partial agg ← expand, adjacent in the tree
     simple = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "simple"
@@ -254,7 +255,20 @@ def test_pivot_single_pass(spark):
     scans = len(re.findall(r"FileScan parquet|^\(\d+\) Scan parquet", plan, re.M))
     assert scans == 1, plan
     # Catalyst compiles pivot to (day, role) partial+final count, then a
-    # pivotfirst aggregate on day: 2 agg exchanges + 2 transcript-window
-    # exchanges — constant in the number of pivot values, one data pass.
-    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 4, plan
+    # pivotfirst aggregate on day: 2 agg exchanges + the ONE shared
+    # transcript-window exchange — constant in pivot values, one pass.
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 3, plan
     assert "pivotfirst" in plan, plan
+
+
+def test_from_events_single_exchange(spark):
+    """The events→transcripts mapping window and the downstream delta
+    window must share ONE conv exchange (the gate/headline input path;
+    a mis-keyed mapping window silently doubles the suite's shuffle —
+    the round-5 PLANS.md audit finding)."""
+    import re
+
+    d = with_deltas(from_events(spark, SF))
+    plan = _plan(d)
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    assert "hashpartitioning(conv_id" in plan, plan
