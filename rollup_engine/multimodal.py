@@ -5,16 +5,17 @@ The Spark-side plumbing (schema, partition-friendly layout, Arrow batch
 shapes, mapInPandas UDF signatures) is real and tested.  Image HEADER
 decode (width/height) is REAL for PNG/GIF/BMP/JPEG — pure stdlib byte
 parsing (``parse_image_header``).  PIXEL decode is REAL for 8-bit
-non-interlaced gray/RGB/RGBA PNG (``decode_png``): PNG's only
-compression is DEFLATE, which the standard library provides (zlib), so
-the full encode→decode→content-feature path (``encode_png`` /
-``pixel_feature``) runs genuinely end-to-end with no image library.
-Pixel decode for OTHER containers (JPEG's DCT, GIF's LZW variants) and
-model embeddings still need libraries the sandbox lacks: for
-unrecognized payloads ``_decode_image`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder
-exercises the pipeline; recognized non-PNG headers yield real
-dimensions with a payload-digest feature stand-in.
+non-interlaced gray/RGB/RGBA PNG (``decode_png``: PNG's only
+compression is DEFLATE = stdlib zlib) AND for GIF (``decode_gif``:
+GIF's only compression is its LZW variant, implemented here directly —
+variable-width codes, 12-bit cap, interlace passes), so both formats'
+encode→decode→content-feature paths (``encode_png`` / ``encode_gif`` /
+``pixel_feature``) run genuinely end-to-end with no image library.
+JPEG's DCT pixel decode and model embeddings still need libraries the
+sandbox lacks: for unrecognized payloads ``_decode_image`` raises
+NotImplementedError unless ``fake=True``, in which case a
+deterministic fake decoder exercises the pipeline; recognized JPEG/BMP
+headers yield real dimensions with a payload-digest feature stand-in.
 
 Layout contract for 100 TB media tables: binaries ride in their own
 column so Parquet keeps them in a separate chunk (column pruning means
@@ -263,6 +264,194 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, ch)
 
 
+def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal REAL GIF encoder — pure stdlib, no image library.
+    Accepts uint8 (h, w, 3) RGB with ≤256 distinct colors (palette
+    built from the data); emits one image block whose LZW stream
+    resets the dictionary before every pixel code (the classic
+    "uncompressed GIF" technique — larger, but standards-valid in any
+    decoder).  ``interlace=True`` writes the 4-pass row order with the
+    interlace flag set, exercising the decoder's deinterlacer."""
+    import struct
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_gif wants (h, w, 3) RGB")
+    h, w, _ = a.shape
+    flat = a.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("more than 256 colors")
+    pbits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    gct_n = 1 << pbits
+    mcs = max(2, pbits)
+    indices = idx.reshape(h, w)
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        indices = indices[order]
+    # LSB-first bit packer over [CLEAR, px, CLEAR, px, ..., END]
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    acc = nbits = 0
+    stream = bytearray()
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    for px in indices.ravel():
+        put(int(px))
+        put(clear)  # dictionary never grows → width stays mcs+1
+    put(end)
+    if nbits:
+        stream.append(acc & 0xFF)
+    gct = palette.tobytes() + b"\x00\x00\x00" * (gct_n - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (pbits - 1), 0, 0)
+    out += gct
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out.append(mcs)
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int, npix: int) -> bytes:
+    """GIF-variant LZW (variable width, LSB-first, CLEAR/END codes,
+    12-bit cap) — the only compression GIF uses, and it needs no
+    library at all."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = mcs + 1
+    acc = nbits = 0
+    out = bytearray()
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = mcs + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out[:npix])
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            out += entry
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= npix:
+                return bytes(out[:npix])
+    return bytes(out[:npix])
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """REAL full GIF pixel decode — pure stdlib LZW + palette lookup,
+    no image library (GIF's only compression is its LZW variant;
+    nothing about it needs a codec).  Decodes the FIRST image block
+    (global or local palette, interlaced or not; extensions skipped),
+    returns uint8 (h, w, 3) RGB."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            payload[pos : pos + 3 * n], dtype=np.uint8
+        ).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(
+                    payload[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode(bytes(data), mcs, w * h), dtype=np.uint8
+            )
+            if len(idx) != w * h:
+                raise ValueError("GIF pixel data length mismatch")
+            rows = idx.reshape(h, w)
+            if ipacked & 0x40:  # deinterlace (4 passes)
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                de = np.empty_like(rows)
+                de[order] = rows
+                rows = de
+            if rows.max(initial=0) >= len(pal):
+                raise ValueError("GIF palette index out of range")
+            return pal[rows]
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image block")
+
+
 def pixel_feature(px: np.ndarray) -> np.ndarray:
     """8-dim REAL content feature from decoded pixels: per-channel mean
     and std (gray broadcast to 3 channels), overall luminance mean, and
@@ -306,6 +495,13 @@ def _decode_image(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
             # 16-bit/interlaced) — dimensions from the header, digest
             # feature stand-in
             pass
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            px = decode_gif(payload)
+            return px.shape[1], px.shape[0], pixel_feature(px)
+        except ValueError:
+            # malformed or exotic GIF — header dims + digest stand-in
+            pass
     dims = parse_image_header(payload)
     if dims is not None:
         return dims[0], dims[1], _digest_feature(digest)
@@ -313,8 +509,9 @@ def _decode_image(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
         raise NotImplementedError(
             "unrecognized image container: header parsing covers "
             "PNG/GIF/BMP/JPEG and PIXEL decode is real for 8-bit "
-            "non-interlaced PNG (stdlib zlib); other formats' pixel "
-            "decode requires pillow/opencv — pass fake=True for the "
+            "non-interlaced PNG (stdlib zlib) and for GIF (stdlib "
+            "LZW, interlaced included); JPEG's DCT pixel decode "
+            "requires pillow/opencv — pass fake=True for the "
             "deterministic stub"
         )
     return 64 + digest[0], 64 + digest[1], _digest_feature(digest)

@@ -921,3 +921,107 @@ def test_grouped_split_no_shuffle(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan, plan
+
+
+def test_gif_roundtrip_exact():
+    """encode_gif → decode_gif is pixel-exact (the decoder is REAL:
+    stdlib LZW + palette lookup), interlaced and not, across palette
+    sizes that exercise 2-, 4-, and 8-bit code widths."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for (h, w), ncolors in [((1, 1), 2), ((5, 3), 4), ((16, 16), 16), ((13, 9), 250)]:
+        pal = rng.randint(0, 256, size=(ncolors, 3), dtype=np.uint8)
+        idx = rng.randint(0, ncolors, size=(h, w))
+        img = pal[idx]
+        for interlace in (False, True):
+            px = multimodal.decode_gif(
+                multimodal.encode_gif(img, interlace=interlace)
+            )
+            assert np.array_equal(px, img), ((h, w), ncolors, interlace)
+
+
+def test_gif_decoder_growing_dictionary():
+    """A real LZW stream (growing dictionary, widening codes — not the
+    encoder's reset-every-pixel shortcut) decodes correctly: compress
+    with an independent test-side LZW implementation and round-trip."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    h, w = 24, 40
+    idx = (rng.randint(0, 4, size=(h, w)) * rng.randint(0, 2, size=(h, w))).astype(np.uint8)
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    mcs = 2
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    # independent forward LZW (standard GIF algorithm, growing table)
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = mcs + 1
+    codes = [clear]
+    cur = b""
+    for px in idx.ravel():
+        nxt = cur + bytes([int(px)])
+        if nxt in table:
+            cur = nxt
+        else:
+            codes.append(table[cur])
+            table[nxt] = next_code
+            next_code += 1
+            cur = bytes([int(px)])
+    if cur:
+        codes.append(table[cur])
+    codes.append(end)
+    # pack LSB-first, mirroring the decoder's width rule exactly: the
+    # decoder's table grows on every code EXCEPT the first after a
+    # clear, and width bumps when the table length reaches 2^width
+    stream = bytearray()
+    acc = nbits = 0
+    table_len = end + 1
+    width = mcs + 1
+    first = True
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c == clear:
+            table_len, width, first = end + 1, mcs + 1, True
+        elif c != end:
+            if first:
+                first = False
+            else:
+                table_len += 1
+                if table_len >= (1 << width) and width < 12:
+                    width += 1
+    if nbits:
+        stream.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 1, 0, 0)  # 4-entry GCT
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(mcs)
+    for i in range(0, len(stream), 255):
+        blk = stream[i : i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"
+    px = multimodal.decode_gif(bytes(out))
+    assert np.array_equal(px, pal[idx])
+
+
+def test_gif_feature_path_uses_real_pixels():
+    """_decode_image routes GIF payloads through the real pixel decode:
+    the feature equals pixel_feature(pixels), not the digest stand-in."""
+    import numpy as np
+
+    pal = np.array([[10, 20, 30], [200, 100, 50]], np.uint8)
+    idx = np.tile(np.array([[0, 1]]), (8, 8))[:8, :8]
+    img = pal[idx]
+    payload = multimodal.encode_gif(img)
+    w, h, feat = multimodal._decode_image(payload, fake=False)
+    assert (w, h) == (img.shape[1], img.shape[0])
+    assert np.allclose(feat, multimodal.pixel_feature(img))
