@@ -8,14 +8,17 @@ parsing (``parse_image_header``).  PIXEL decode is REAL for 8-bit
 non-interlaced gray/RGB/RGBA PNG (``decode_png``: PNG's only
 compression is DEFLATE = stdlib zlib) AND for GIF (``decode_gif``:
 GIF's only compression is its LZW variant, implemented here directly —
-variable-width codes, 12-bit cap, interlace passes), so both formats'
-encode→decode→content-feature paths (``encode_png`` / ``encode_gif`` /
+variable-width codes, 12-bit cap, interlace passes) AND for
+uncompressed 24/32-bit BMP (``decode_bmp``: raw bytes, no compression
+at all), so three of the four formats' encode→decode→content-feature
+paths (``encode_png``/``encode_gif``/``encode_bmp`` /
 ``pixel_feature``) run genuinely end-to-end with no image library.
 JPEG's DCT pixel decode and model embeddings still need libraries the
 sandbox lacks: for unrecognized payloads ``_decode_image`` raises
 NotImplementedError unless ``fake=True``, in which case a
-deterministic fake decoder exercises the pipeline; recognized JPEG/BMP
-headers yield real dimensions with a payload-digest feature stand-in.
+deterministic fake decoder exercises the pipeline; recognized JPEG
+headers (and exotic PNG/GIF/BMP subsets) yield real dimensions with a
+payload-digest feature stand-in.
 
 Layout contract for 100 TB media tables: binaries ride in their own
 column so Parquet keeps them in a separate chunk (column pruning means
@@ -452,6 +455,56 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image block")
 
 
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Minimal REAL BMP encoder — 24-bit BI_RGB, bottom-up, rows padded
+    to 4 bytes (the classic uncompressed Windows bitmap)."""
+    import struct
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_bmp wants (h, w, 3) RGB")
+    h, w, _ = a.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = b"".join(
+        a[y, :, ::-1].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1)
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return head + info + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL full BMP pixel decode — uncompressed (BI_RGB) 24/32-bit,
+    bottom-up or top-down; pure struct + numpy byte shuffling (BMP has
+    no compression to need a library for).  Returns uint8 (h, w, 3)."""
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack("<I", payload[10:14])
+    hdr_size, w, h_raw, _planes, bpp, comp = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if hdr_size < 40 or comp != 0 or bpp not in (24, 32):
+        raise ValueError(
+            f"unsupported BMP subset (hdr={hdr_size} bpp={bpp} comp={comp})"
+        )
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    ch = bpp // 8
+    stride = (w * ch + 3) & ~3
+    need = offset + stride * h
+    if len(payload) < need:
+        raise ValueError("BMP pixel data truncated")
+    rows = np.frombuffer(
+        payload[offset : offset + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
+    if not top_down:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, 2::-1])  # BGR(A) → RGB
+
+
 def pixel_feature(px: np.ndarray) -> np.ndarray:
     """8-dim REAL content feature from decoded pixels: per-channel mean
     and std (gray broadcast to 3 channels), overall luminance mean, and
@@ -501,6 +554,13 @@ def _decode_image(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
             return px.shape[1], px.shape[0], pixel_feature(px)
         except ValueError:
             # malformed or exotic GIF — header dims + digest stand-in
+            pass
+    if payload[:2] == b"BM":
+        try:
+            px = decode_bmp(payload)
+            return px.shape[1], px.shape[0], pixel_feature(px)
+        except ValueError:
+            # RLE/paletted/16-bit BMP — header dims + digest stand-in
             pass
     dims = parse_image_header(payload)
     if dims is not None:

@@ -1025,3 +1025,43 @@ def test_gif_feature_path_uses_real_pixels():
     w, h, feat = multimodal._decode_image(payload, fake=False)
     assert (w, h) == (img.shape[1], img.shape[0])
     assert np.allclose(feat, multimodal.pixel_feature(img))
+
+
+def test_bmp_roundtrip_and_variants():
+    """encode_bmp → decode_bmp is pixel-exact; hand-built 32-bit and
+    top-down variants decode correctly (BMP bytes are raw — every
+    value here is independently checkable, no shared codec bug)."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    for h, w in [(1, 1), (3, 5), (8, 7)]:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(img)), img)
+    # hand-built 2x1 top-down 32-bit: red pixel then green pixel
+    body = bytes([0, 0, 255, 0]) + bytes([0, 255, 0, 0])  # BGRA rows
+    info = struct.pack("<IiiHHIIiiII", 40, 2, -1, 1, 32, 0, len(body), 0, 0, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    px = multimodal.decode_bmp(head + info + body)
+    assert px.shape == (1, 2, 3)
+    assert px[0, 0].tolist() == [255, 0, 0] and px[0, 1].tolist() == [0, 255, 0]
+    # bottom-up 24-bit with row padding: 1x2 column, white above black
+    body = bytes([0, 0, 0]) + b"\x00"  # bottom row (black), padded to 4
+    body += bytes([255, 255, 255]) + b"\x00"  # top row (white)
+    info = struct.pack("<IiiHHIIiiII", 40, 1, 2, 1, 24, 0, len(body), 0, 0, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    px = multimodal.decode_bmp(head + info + body)
+    assert px[0, 0].tolist() == [255, 255, 255]
+    assert px[1, 0].tolist() == [0, 0, 0]
+
+
+def test_bmp_feature_path_uses_real_pixels():
+    import numpy as np
+
+    img = np.zeros((6, 4, 3), np.uint8)
+    img[:, :, 0] = 200
+    payload = multimodal.encode_bmp(img)
+    w, h, feat = multimodal._decode_image(payload, fake=False)
+    assert (w, h) == (4, 6)
+    assert np.allclose(feat, multimodal.pixel_feature(img))
