@@ -13,12 +13,18 @@ uncompressed 24/32-bit BMP (``decode_bmp``: raw bytes, no compression
 at all), so three of the four formats' encode→decode→content-feature
 paths (``encode_png``/``encode_gif``/``encode_bmp`` /
 ``pixel_feature``) run genuinely end-to-end with no image library.
-JPEG's DCT pixel decode and model embeddings still need libraries the
-sandbox lacks: for unrecognized payloads ``_decode_image`` raises
-NotImplementedError unless ``fake=True``, in which case a
-deterministic fake decoder exercises the pipeline; recognized JPEG
-headers (and exotic PNG/GIF/BMP subsets) yield real dimensions with a
-payload-digest feature stand-in.
+BASELINE JPEG pixel decode is REAL too (``decode_jpeg``/
+``encode_jpeg``: numpy matrix DCT, canonical Huffman, DC prediction,
+restart markers, any h×v chroma sampling incl. 4:2:0) — all FOUR
+container formats decode to pixels with zero image libraries; it is a
+correctness-first per-block implementation, sized for feature
+extraction over bounded Arrow batches, not a SIMD codec.  Model
+embeddings still need libraries the sandbox lacks: for unrecognized
+payloads ``_decode_image`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder exercises
+the pipeline; exotic subsets (progressive JPEG, paletted/16-bit PNG
+or BMP) yield real header dimensions with a payload-digest feature
+stand-in.
 
 Layout contract for 100 TB media tables: binaries ride in their own
 column so Parquet keeps them in a separate chunk (column pruning means
@@ -505,6 +511,422 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(rows[:, :, 2::-1])  # BGR(A) → RGB
 
 
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """The standard JPEG 8x8 zigzag traversal, generated (not recited):
+    anti-diagonals s = r+c in order; even s walks up-right (r
+    descending), odd s walks down-left (r ascending)."""
+    order = []
+    for s in range(15):
+        rs = range(min(s, 7), max(0, s - 7) - 1, -1) if s % 2 == 0 else range(
+            max(0, s - 7), min(s, 7) + 1
+        )
+        order.extend((r, s - r) for r in rs)
+    return order
+
+
+_ZZ = _zigzag_order()
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix M: block_dct = M @ B @ M.T is
+    exactly the JPEG FDCT (T.81 A.3.3), and M.T @ C @ M the IDCT."""
+    x = np.arange(8)
+    m = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    m *= 0.5
+    m[0] /= np.sqrt(2)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _huff_canonical(symbols: list[int]) -> tuple[list[int], list[int], dict]:
+    """One-length canonical Huffman table over ``symbols``: every
+    symbol gets the same code length L with 2^L > n (the all-ones code
+    stays unused, as T.81 requires).  Returns (bits[1..16], vals,
+    {symbol: (code, length)}) — valid DHT content any decoder accepts."""
+    vals = sorted(set(symbols))
+    n = len(vals)
+    L = 1
+    while (1 << L) <= n:
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = n
+    return bits, vals, {s: (i, L) for i, s in enumerate(vals)}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = self.n = 0
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _extend_bits(v: int, t: int) -> int:
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def encode_jpeg(arr: np.ndarray) -> bytes:
+    """Minimal REAL baseline JPEG encoder — pure numpy (matrix FDCT),
+    no image library.  uint8 gray (h, w) or RGB (h, w, 3); 4:4:4, one
+    all-ones quantization table (near-lossless: the only loss is DCT
+    rounding, ≤ ~2/255 per pixel), canonical single-length Huffman
+    tables declared in DHT.  Output decodes in any baseline viewer."""
+    import struct
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if gray:
+        comps = [a.astype(np.float64)]
+    else:
+        r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    blocks_per_comp = []
+    for c in comps:
+        p = np.empty((ph, pw))
+        p[:h, :w] = c
+        p[h:, :w] = c[h - 1 : h, :]
+        p[:, w:] = p[:, w - 1 : w]
+        qb = []
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                blk = p[by : by + 8, bx : bx + 8] - 128.0
+                d = _DCT_M @ blk @ _DCT_M.T
+                qb.append(np.rint(d).astype(np.int32))
+        blocks_per_comp.append(qb)
+
+    # entropy symbols (DC categories; AC (run<<4)|size), per class
+    dc_syms, ac_syms = [], []
+    comp_seqs = []
+    for qb in blocks_per_comp:
+        prev = 0
+        seq = []
+        for blk in qb:
+            zz = [int(blk[r, c]) for r, c in _ZZ]
+            diff = zz[0] - prev
+            prev = zz[0]
+            t = _category(diff)
+            dc_syms.append(t)
+            entry = [("dc", t, diff)]
+            run = 0
+            last_nz = 0
+            for i in range(1, 64):
+                if zz[i] != 0:
+                    last_nz = i
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    if run == 16:
+                        ac_syms.append(0xF0)
+                        entry.append(("ac", 0xF0, None))
+                        run = 0
+                    continue
+                t = _category(zz[i])
+                sym = (run << 4) | t
+                ac_syms.append(sym)
+                entry.append(("ac", sym, zz[i]))
+                run = 0
+            if last_nz < 63:
+                ac_syms.append(0x00)  # EOB
+                entry.append(("ac", 0x00, None))
+            seq.append(entry)
+        comp_seqs.append(seq)
+
+    dc_bits, dc_vals, dc_map = _huff_canonical(dc_syms)
+    ac_bits, ac_vals, ac_map = _huff_canonical(ac_syms)
+
+    bw = _BitWriter()
+    n_comp = len(comps)
+    mcux = pw // 8
+    mcuy = ph // 8
+    # 4:4:4 interleaved MCU = one block per component
+    idx = [0] * n_comp
+    for _m in range(mcux * mcuy):
+        for ci in range(n_comp):
+            entry = comp_seqs[ci][idx[ci]]
+            idx[ci] += 1
+            for kind, sym, val in entry:
+                code, ln = (dc_map if kind == "dc" else ac_map)[sym]
+                bw.put(code, ln)
+                if kind == "dc":
+                    t = sym
+                    if t:
+                        bw.put(_extend_bits(val, t) & ((1 << t) - 1), t)
+                elif sym not in (0x00, 0xF0):
+                    t = sym & 0x0F
+                    bw.put(_extend_bits(val, t) & ((1 << t) - 1), t)
+    data = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    # DQT: precision 0, table id 0, all-ones values (near-lossless)
+    out += seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, n_comp))
+    for ci in range(n_comp):
+        sof += bytes([ci + 1, 0x11, 0])  # sampling 1x1, qtable 0
+    out += seg(0xC0, bytes(sof))
+    out += seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))  # DC id 0
+    out += seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))  # AC id 0
+    sos = bytearray([n_comp])
+    for ci in range(n_comp):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, bytes(sos))
+    out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
+    unstuffing; stops at any real marker (RSTn handled by the caller)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker = None
+
+    def _fill(self) -> bool:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+                return True
+            self.marker = nxt
+            return False  # a real marker terminates the segment
+        self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+        return True
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            if not self._fill():
+                # pad with 1s past the marker (T.81 allows the final
+                # byte's pad bits to be consumed as 1s)
+                self.acc = (self.acc << 8) | 0xFF
+                self.n += 8
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def align_and_skip_rst(self) -> None:
+        # discard any pad bits, then consume the RSTn marker whether or
+        # not the bit reader already stumbled onto it (_fill leaves pos
+        # AT the 0xFF when it discovers a marker, so both cases skip 2)
+        self.n = 0
+        self.acc = 0
+        if (
+            self.pos + 1 < len(self.buf)
+            and self.buf[self.pos] == 0xFF
+            and 0xD0 <= self.buf[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+            self.marker = None
+
+
+def _huff_decoder(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) -> symbol map from a DHT (canonical order)."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: "_BitReader", table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bits(1)
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """REAL baseline JPEG pixel decode — pure numpy, no image library:
+    DHT canonical Huffman, DC prediction + EXTEND, AC run-length,
+    dequant, inverse zigzag, matrix IDCT, chroma upsampling (any
+    h×v sampling factors incl. 4:2:0), YCbCr→RGB, restart markers.
+    Baseline sequential (SOF0) only; progressive raises ValueError.
+    Returns uint8 (h, w, 3) RGB (gray replicated)."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG segment alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker in (0xC2,):
+            raise ValueError("progressive JPEG not supported")
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tid] = np.array(list(body[i + 1 : i + 65]), np.float64)
+                i += 65
+        elif marker == 0xC0 or marker == 0xC1:
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            frame = (fh, fw, comps)
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(cls, tid)] = _huff_decoder(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            smap = {}
+            for si in range(ns):
+                cid, tables = body[1 + 2 * si], body[2 + 2 * si]
+                smap[cid] = (tables >> 4, tables & 0x0F)
+            return _decode_scan(
+                payload, pos + 2 + ln, frame, qt, huff, smap,
+                restart_interval,
+            )
+        pos += 2 + ln
+    raise ValueError("JPEG contains no scan")
+
+
+def _decode_scan(payload, pos, frame, qt, huff, smap, restart_interval):
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    planes = {
+        cid: np.zeros((mcuy * 8 * v, mcux * 8 * h8))
+        for cid, h8, v, _tq in comps
+    }
+    zz_r = np.array([r for r, c in _ZZ])
+    zz_c = np.array([c for r, c in _ZZ])
+    br = _BitReader(payload, pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            br.align_and_skip_rst()
+            pred = {cid: 0 for cid, *_ in comps}
+        my, mx = divmod(m, mcux)
+        for cid, h8, v, tq in comps:
+            dct_t, act_t = smap[cid]
+            dc_table = huff[(0, dct_t)]
+            ac_table = huff[(1, act_t)]
+            q = qt[tq]
+            for by in range(v):
+                for bx in range(h8):
+                    zz = np.zeros(64)
+                    t = _read_symbol(br, dc_table)
+                    diff = 0
+                    if t:
+                        raw = br.bits(t)
+                        diff = raw if raw >= (1 << (t - 1)) else raw - (1 << t) + 1
+                    pred[cid] += diff
+                    zz[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        sym = _read_symbol(br, ac_table)
+                        if sym == 0x00:
+                            break
+                        if sym == 0xF0:
+                            k += 16
+                            continue
+                        run, t = sym >> 4, sym & 0x0F
+                        k += run
+                        if k > 63 or t == 0:
+                            raise ValueError("corrupt JPEG AC stream")
+                        raw = br.bits(t)
+                        zz[k] = raw if raw >= (1 << (t - 1)) else raw - (1 << t) + 1
+                        k += 1
+                    blk = np.zeros((8, 8))
+                    blk[zz_r, zz_c] = zz * q
+                    px = _DCT_M.T @ blk @ _DCT_M + 128.0
+                    y0 = (my * v + by) * 8
+                    x0 = (mx * h8 + bx) * 8
+                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
+    # upsample each component to full MCU-padded resolution, crop, mix
+    full = []
+    for cid, h8, v, _tq in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h8, axis=1)
+        full.append(p[:fh, :fw])
+    if len(full) == 1:
+        y = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(
+        np.uint8
+    )
+
+
 def pixel_feature(px: np.ndarray) -> np.ndarray:
     """8-dim REAL content feature from decoded pixels: per-channel mean
     and std (gray broadcast to 3 channels), overall luminance mean, and
@@ -562,16 +984,23 @@ def _decode_image(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
         except ValueError:
             # RLE/paletted/16-bit BMP — header dims + digest stand-in
             pass
+    if payload[:2] == b"\xff\xd8":
+        try:
+            px = decode_jpeg(payload)
+            return px.shape[1], px.shape[0], pixel_feature(px)
+        except ValueError:
+            # progressive/arithmetic/corrupt JPEG — header dims +
+            # digest stand-in
+            pass
     dims = parse_image_header(payload)
     if dims is not None:
         return dims[0], dims[1], _digest_feature(digest)
     if not fake:
         raise NotImplementedError(
-            "unrecognized image container: header parsing covers "
-            "PNG/GIF/BMP/JPEG and PIXEL decode is real for 8-bit "
-            "non-interlaced PNG (stdlib zlib) and for GIF (stdlib "
-            "LZW, interlaced included); JPEG's DCT pixel decode "
-            "requires pillow/opencv — pass fake=True for the "
+            "unrecognized image container: PIXEL decode is real for "
+            "PNG (stdlib zlib), GIF (stdlib LZW), BMP (raw bytes), "
+            "and baseline JPEG (numpy DCT) — only payloads that are "
+            "none of these reach this point; pass fake=True for the "
             "deterministic stub"
         )
     return 64 + digest[0], 64 + digest[1], _digest_feature(digest)

@@ -1065,3 +1065,115 @@ def test_bmp_feature_path_uses_real_pixels():
     w, h, feat = multimodal._decode_image(payload, fake=False)
     assert (w, h) == (4, 6)
     assert np.allclose(feat, multimodal.pixel_feature(img))
+
+
+def test_jpeg_roundtrip_tolerance():
+    """encode_jpeg → decode_jpeg within DCT+colorspace rounding (the
+    quant table is all ones, so rounding is the ONLY loss): const
+    exact, structured/noise within ±3, odd sizes, gray replicated."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    img = np.full((16, 24, 3), 137, np.uint8)
+    assert np.array_equal(multimodal.decode_jpeg(multimodal.encode_jpeg(img)), img)
+    gx = np.linspace(0, 255, 37)
+    img = np.stack(
+        [
+            np.tile(gx, (21, 1)),
+            np.tile(np.linspace(0, 255, 21)[:, None], (1, 37)),
+            np.full((21, 37), 90.0),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    px = multimodal.decode_jpeg(multimodal.encode_jpeg(img))
+    assert px.shape == img.shape
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 3
+    img = rng.randint(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    px = multimodal.decode_jpeg(multimodal.encode_jpeg(img))
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 3
+    gray = rng.randint(0, 256, size=(8, 8), dtype=np.uint8)
+    px = multimodal.decode_jpeg(multimodal.encode_jpeg(gray))
+    assert px.shape == (8, 8, 3)
+    assert np.abs(px[:, :, 0].astype(int) - gray.astype(int)).max() <= 2
+
+
+def _handbuilt_420_jpeg(H, W, rgb):
+    """Independently hand-assembled 4:2:0 JPEG with DRI=1 and RSTn
+    between every MCU — exercises the sampling-factor MCU interleave,
+    chroma upsampling, and restart handling, none of which encode_jpeg
+    (4:4:4, no restarts) emits."""
+    import struct
+
+    import numpy as np  # noqa: F401
+
+    r, g, b = rgb
+    Y = 0.299 * r + 0.587 * g + 0.114 * b
+    Cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    Cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    # constant 8x8 block under the orthonormal DCT: DC = 8*(v-128)
+    dcs = {1: int(round(8 * (Y - 128))), 2: int(round(8 * (Cb - 128))),
+           3: int(round(8 * (Cr - 128)))}
+    mcux, mcuy = -(-W // 16), -(-H // 16)
+    dc_syms, ac_syms, mcus = [], [], []
+    for _ in range(mcux * mcuy):
+        ents = []
+        for cid, nblk in ((1, 4), (2, 1), (3, 1)):
+            for bi in range(nblk):
+                diff = dcs[cid] if bi == 0 else 0  # preds reset per MCU
+                t = int(abs(diff)).bit_length()
+                dc_syms.append(t)
+                ents.append(("dc", t, diff))
+                ac_syms.append(0x00)
+                ents.append(("ac", 0x00, None))
+        mcus.append(ents)
+    dc_bits, dc_vals, dc_map = multimodal._huff_canonical(dc_syms)
+    ac_bits, ac_vals, ac_map = multimodal._huff_canonical(ac_syms)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = (
+        struct.pack(">BHHB", 8, H, W, 3)
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    )
+    out += seg(0xC0, sof)
+    out += seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))
+    out += seg(0xDD, struct.pack(">H", 1))
+    out += seg(
+        0xDA,
+        bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00",
+    )
+    for m, ents in enumerate(mcus):
+        bw = multimodal._BitWriter()
+        for kind, sym, val in ents:
+            code, ln = (dc_map if kind == "dc" else ac_map)[sym]
+            bw.put(code, ln)
+            if kind == "dc" and sym:
+                bw.put(multimodal._extend_bits(val, sym) & ((1 << sym) - 1), sym)
+        out += bw.flush()
+        if m < len(mcus) - 1:
+            out += bytes([0xFF, 0xD0 + (m % 8)])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_420_with_restarts_decodes():
+    import numpy as np
+
+    rgb = (80, 160, 240)
+    px = multimodal.decode_jpeg(_handbuilt_420_jpeg(20, 28, rgb))
+    assert px.shape == (20, 28, 3)
+    assert np.abs(px.astype(int) - np.array(rgb)[None, None, :]).max() <= 1
+
+
+def test_jpeg_feature_path_uses_real_pixels():
+    import numpy as np
+
+    img = np.full((12, 10, 3), 64, np.uint8)
+    payload = multimodal.encode_jpeg(img)
+    w, h, feat = multimodal._decode_image(payload, fake=False)
+    assert (w, h) == (10, 12)
+    assert np.allclose(feat, multimodal.pixel_feature(img), atol=1e-4)
