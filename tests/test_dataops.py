@@ -1177,3 +1177,45 @@ def test_jpeg_feature_path_uses_real_pixels():
     w, h, feat = multimodal._decode_image(payload, fake=False)
     assert (w, h) == (10, 12)
     assert np.allclose(feat, multimodal.pixel_feature(img), atol=1e-4)
+
+
+def test_multimodal_all_formats_spark_path(spark):
+    """One payload of each container (PNG, GIF, BMP, JPEG) through the
+    DISTRIBUTED extract_features path with fake=False: every row comes
+    back with its real decoded dimensions and a pixel-derived feature —
+    the Spark plumbing handles all four codecs, not just the driver."""
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    imgs = {
+        1: ("png", rng.randint(0, 256, size=(9, 14, 3), dtype=np.uint8)),
+        2: ("gif", None),
+        3: ("bmp", rng.randint(0, 256, size=(11, 6, 3), dtype=np.uint8)),
+        4: ("jpg", np.full((16, 8, 3), 120, np.uint8)),
+    }
+    pal = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    imgs[2] = ("gif", pal[rng.randint(0, 8, size=(7, 13))])
+    payloads = {
+        1: multimodal.encode_png(imgs[1][1]),
+        2: multimodal.encode_gif(imgs[2][1]),
+        3: multimodal.encode_bmp(imgs[3][1]),
+        4: multimodal.encode_jpeg(imgs[4][1]),
+    }
+    df = spark.createDataFrame(
+        [
+            (mid, "image", bytearray(payloads[mid]), f"image/{imgs[mid][0]}",
+             len(payloads[mid]))
+            for mid in sorted(imgs)
+        ],
+        multimodal.MEDIA_SCHEMA,
+    ).repartition(4)
+    out = {
+        r.media_id: r
+        for r in multimodal.extract_features(df, fake=False).collect()
+    }
+    for mid, (_fmt, img) in imgs.items():
+        assert (out[mid].width, out[mid].height) == (
+            img.shape[1],
+            img.shape[0],
+        ), mid
+        assert len(out[mid].feature) == 8
