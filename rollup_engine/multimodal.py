@@ -18,7 +18,10 @@ BASELINE JPEG pixel decode is REAL too (``decode_jpeg``/
 restart markers, any h×v chroma sampling incl. 4:2:0) — all FOUR
 container formats decode to pixels with zero image libraries; it is a
 correctness-first per-block implementation, sized for feature
-extraction over bounded Arrow batches, not a SIMD codec.  Model
+extraction over bounded Arrow batches, not a SIMD codec.  AUDIO is
+real as well: ``decode_wav``/``encode_wav`` (RIFF chunk walk, PCM
+8/16-bit, any channel count) with ``audio_feature`` (duration/RMS/
+peak/ZCR/spectral bands via numpy rFFT).  Model
 embeddings still need libraries the sandbox lacks: for unrecognized
 payloads ``_decode_image`` raises NotImplementedError unless
 ``fake=True``, in which case a deterministic fake decoder exercises
@@ -927,6 +930,84 @@ def _decode_scan(payload, pos, frame, qt, huff, smap, restart_interval):
     )
 
 
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16000
+) -> bytes:
+    """Minimal REAL WAV encoder — PCM int16 mono/multichannel RIFF,
+    pure struct (WAV is a header plus raw samples; nothing to
+    compress).  ``samples``: int16 (n,) or (n, channels)."""
+    import struct
+
+    a = np.ascontiguousarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, ch = a.shape
+    data = a.tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    out = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """REAL WAV decode — PCM 16-bit (any channel count) and 8-bit
+    unsigned mono/stereo RIFF; returns (sample_rate, int16 (n, ch)).
+    Chunk-walks the RIFF container (fmt may be preceded by JUNK/LIST
+    chunks in the wild), pure struct + numpy."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, ch, rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(
+            f"unsupported WAV subset (format={audio_format} bits={bits}):"
+            " PCM 8/16-bit only"
+        )
+    if bits == 16:
+        arr = np.frombuffer(data[: len(data) // (2 * ch) * 2 * ch], "<i2")
+    else:
+        arr = (
+            np.frombuffer(data[: len(data) // ch * ch], np.uint8).astype(
+                np.int16
+            )
+            - 128
+        ) * 256
+    return rate, arr.reshape(-1, ch)
+
+
+def audio_feature(rate: int, samples: np.ndarray) -> np.ndarray:
+    """8-dim content feature from decoded PCM: duration, RMS, peak,
+    zero-crossing rate, and 4 coarse spectral-band energies (numpy
+    rFFT) — the audio analog of pixel_feature, deterministic."""
+    x = samples.astype(np.float64).mean(axis=1) / 32768.0
+    n = len(x)
+    dur = n / rate if rate else 0.0
+    rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+    peak = float(np.abs(x).max()) if n else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x)) if n else np.zeros(1)
+    bands = np.array_split(spec, 4)
+    e = np.array([float(np.sqrt(np.mean(b * b))) if len(b) else 0.0 for b in bands])
+    return np.array([dur, rms, peak, zcr, *e], dtype=np.float32)
+
+
 def pixel_feature(px: np.ndarray) -> np.ndarray:
     """8-dim REAL content feature from decoded pixels: per-channel mean
     and std (gray broadcast to 3 channels), overall luminance mean, and
@@ -991,6 +1072,17 @@ def _decode_image(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
         except ValueError:
             # progressive/arithmetic/corrupt JPEG — header dims +
             # digest stand-in
+            pass
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        try:
+            rate, samples = decode_wav(payload)
+            # audio mapping: width = sample count, height = channels
+            return (
+                samples.shape[0],
+                samples.shape[1],
+                audio_feature(rate, samples),
+            )
+        except ValueError:
             pass
     dims = parse_image_header(payload)
     if dims is not None:

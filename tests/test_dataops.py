@@ -1219,3 +1219,46 @@ def test_multimodal_all_formats_spark_path(spark):
             img.shape[0],
         ), mid
         assert len(out[mid].feature) == 8
+
+
+def test_wav_roundtrip_and_feature():
+    """encode_wav → decode_wav is sample-exact (PCM is raw);
+    audio_feature is deterministic and shaped like pixel_feature; the
+    distributed path routes RIFF payloads through the real decode
+    (width = samples, height = channels)."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    mono = (rng.normal(scale=8000, size=1600)).astype(np.int16)
+    rate, back = multimodal.decode_wav(multimodal.encode_wav(mono, 16000))
+    assert rate == 16000 and np.array_equal(back[:, 0], mono)
+    stereo = (rng.normal(scale=8000, size=(800, 2))).astype(np.int16)
+    rate, back = multimodal.decode_wav(multimodal.encode_wav(stereo, 8000))
+    assert rate == 8000 and np.array_equal(back, stereo)
+    feat = multimodal.audio_feature(rate, back)
+    assert feat.shape == (8,) and abs(feat[0] - 0.1) < 1e-6  # 800/8000 s
+    w, h, f = multimodal._decode_image(
+        multimodal.encode_wav(stereo, 8000), fake=False
+    )
+    assert (w, h) == (800, 2)
+    assert np.allclose(f, feat)
+
+
+def test_wav_8bit_and_junk_chunk():
+    """8-bit PCM upconverts to int16; a leading JUNK chunk before fmt
+    (common in the wild) is walked over."""
+    import struct
+
+    import numpy as np
+
+    raw = bytes([0, 128, 255, 64])  # 8-bit unsigned mono
+    fmt = struct.pack("<HHIIHH", 1, 1, 4000, 4000, 1, 8)
+    body = (
+        b"JUNK" + struct.pack("<I", 3) + b"abc\x00"  # odd len, padded
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    rate, samples = multimodal.decode_wav(payload)
+    assert rate == 4000
+    assert samples[:, 0].tolist() == [-32768, 0, 32512, -16384]
