@@ -930,6 +930,74 @@ def _decode_scan(payload, pos, frame, qt, huff, smap, restart_interval):
     )
 
 
+def parse_mp4_header(payload: bytes) -> dict | None:
+    """REAL MP4/ISO-BMFF metadata parse — recursive box walk, pure
+    struct: ftyp brand, mvhd timescale/duration (v0 and v1), and the
+    first video track's tkhd 16.16-fixed width/height.  Frame decode
+    (H.264 etc.) is codec territory and stays out of scope; the
+    metadata IS what a 100 TB video table filters and shards on.
+    Returns {brand, duration_sec, width, height, n_tracks} or None."""
+    import struct
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    info = {
+        "brand": payload[8:12].decode("ascii", "replace"),
+        "duration_sec": None,
+        "width": None,
+        "height": None,
+        "n_tracks": 0,
+    }
+
+    def walk(lo: int, hi: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack(">I", payload[pos : pos + 4])
+            typ = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+                body = pos + 16
+            elif size == 0:
+                size = hi - pos
+            if size < 8 or pos + size > hi:
+                raise ValueError("corrupt MP4 box")
+            if typ in (b"moov", b"trak"):
+                if typ == b"trak":
+                    info["n_tracks"] += 1
+                walk(body, pos + size)
+            elif typ == b"mvhd":
+                v = payload[body]
+                if v == 1:
+                    ts, dur = struct.unpack(
+                        ">IQ", payload[body + 20 : body + 32]
+                    )
+                else:
+                    ts, dur = struct.unpack(
+                        ">II", payload[body + 12 : body + 20]
+                    )
+                if ts:
+                    info["duration_sec"] = round(dur / ts, 6)
+            elif typ == b"tkhd" and info["width"] is None:
+                # width sits after version+flags(4) + times/track/dur
+                # (72 for v0, 84 for v1 — 64-bit times) incl. matrix
+                v = payload[body]
+                off = body + 4 + (84 if v == 1 else 72)
+                w16, h16 = struct.unpack(">II", payload[off : off + 8])
+                if w16 and h16:  # audio tracks carry 0×0
+                    info["width"] = w16 >> 16
+                    info["height"] = h16 >> 16
+            pos += size
+        if pos != hi:  # a trailing partial box = truncated file
+            raise ValueError("truncated MP4")
+
+    try:
+        walk(0, len(payload))
+    except (ValueError, struct.error):
+        return None
+    return info
+
+
 def encode_wav(
     samples: np.ndarray, sample_rate: int = 16000
 ) -> bytes:

@@ -1262,3 +1262,59 @@ def test_wav_8bit_and_junk_chunk():
     rate, samples = multimodal.decode_wav(payload)
     assert rate == 4000
     assert samples[:, 0].tolist() == [-32768, 0, 32512, -16384]
+
+
+def _minimal_mp4(dur_ts=(90000, 270000), wh=(640, 360), v1=False):
+    """Hand-assembled minimal MP4: ftyp + moov(mvhd, trak(tkhd),
+    trak(tkhd audio 0x0)) — every byte laid out per ISO-BMFF, so the
+    parser is validated independently of any encoder."""
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ts, dur = dur_ts
+    if v1:
+        mvhd = (
+            b"\x01\x00\x00\x00" + b"\x00" * 16
+            + struct.pack(">IQ", ts, dur) + b"\x00" * 80
+        )
+        tkhd = (
+            b"\x01\x00\x00\x00" + b"\x00" * 32 + b"\x00" * 16
+            + b"\x00" * 36
+            + struct.pack(">II", wh[0] << 16, wh[1] << 16)
+        )
+    else:
+        mvhd = (
+            b"\x00\x00\x00\x00" + b"\x00" * 8
+            + struct.pack(">II", ts, dur) + b"\x00" * 76
+        )
+        tkhd = (
+            b"\x00\x00\x00\x00" + b"\x00" * 20 + b"\x00" * 16
+            + b"\x00" * 36
+            + struct.pack(">II", wh[0] << 16, wh[1] << 16)
+        )
+        audio_tkhd = (
+            b"\x00\x00\x00\x00" + b"\x00" * 20 + b"\x00" * 16
+            + b"\x00" * 36 + struct.pack(">II", 0, 0)
+        )
+    traks = box(b"trak", box(b"tkhd", tkhd))
+    if not v1:
+        # audio track first: the parser must skip its 0x0 tkhd
+        traks = box(b"trak", box(b"tkhd", audio_tkhd)) + traks
+    moov = box(b"moov", box(b"mvhd", mvhd) + traks)
+    return box(b"ftyp", b"isom" + b"\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_mp4_header_parse():
+    info = multimodal.parse_mp4_header(_minimal_mp4())
+    assert info["brand"] == "isom"
+    assert info["duration_sec"] == 3.0  # 270000 / 90000
+    assert (info["width"], info["height"]) == (640, 360)
+    assert info["n_tracks"] == 2  # audio track skipped for dims, counted
+    info1 = multimodal.parse_mp4_header(_minimal_mp4(v1=True))
+    assert info1["duration_sec"] == 3.0
+    assert (info1["width"], info1["height"]) == (640, 360)
+    assert multimodal.parse_mp4_header(b"notamp4file") is None
+    # truncated box must fail safe, not crash
+    assert multimodal.parse_mp4_header(_minimal_mp4()[:30] ) is None
