@@ -417,6 +417,21 @@ def q_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL deriv/predict_linear analog (tsops.trend_from_minutes):
+    per minute tick, least-squares slope of the trailing 30 minutes of
+    turn volume and the 10-minute-ahead extrapolation — exact integer
+    window moments, one mirrored double op sequence."""
+    from .tsops import trend_from_minutes
+
+    minutes = (
+        from_events(spark, sf_dir)
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return trend_from_minutes(minutes)
+
+
 def q_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-contract audit (audit.quality_audit): per-invariant
     violation counts in ONE conditional-sum aggregate over one scan —
@@ -1189,6 +1204,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conv_profile": q_conv_profile,
     "data_audit": q_data_audit,
     "tool_transitions": q_tool_transitions,
+    "predict_linear": q_predict_linear,
     "rollup_sketch_minute": q_rollup_sketch_minute,
     "rollup_hour_cascade": q_rollup_hour_cascade,
     "rollup_day_cascade": q_rollup_day_cascade,
@@ -1271,6 +1287,7 @@ _DRIVER_OVERFLOW = [
     "conv_profile",
     "data_audit",
     "tool_transitions",
+    "predict_linear",
     "pii_redact",
     "source_cap_sample",
     "cusum_drift",
@@ -1526,6 +1543,40 @@ ORACLES: dict[str, str] = {
            {_METRICS_SQL}
     FROM d WHERE delta_ms IS NOT NULL
     GROUP BY 2
+    """,
+    # deriv/predict_linear: exact integer moments (n, Σt, Σy, Σty,
+    # Σt²) over a 30-min RANGE frame, one mirrored double op sequence
+    "predict_linear": f"""{_TRANSCRIPTS_CTE},
+    b AS (
+        SELECT date_trunc('minute', ts) AS bucket_start,
+               epoch_us(date_trunc('minute', ts)) // 60000000 AS t,
+               count(*) AS y
+        FROM t GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT bucket_start, t, y,
+               CAST(count(*) OVER fr AS BIGINT) AS n,
+               CAST(sum(t) OVER fr AS BIGINT) AS st,
+               CAST(sum(y) OVER fr AS BIGINT) AS sy,
+               CAST(sum(t * y) OVER fr AS BIGINT) AS sty,
+               CAST(sum(t * t) OVER fr AS BIGINT) AS stt
+        FROM b
+        WINDOW fr AS (ORDER BY t RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT bucket_start,
+           n AS n_samples,
+           CAST(y AS BIGINT) AS value,
+           round(CASE WHEN CAST(n * stt - st * st AS DOUBLE) <> 0.0
+                 THEN CAST(n * sty - st * sy AS DOUBLE)
+                      / CAST(n * stt - st * st AS DOUBLE) END, 4)
+               AS slope_per_min,
+           round(CAST(sy AS DOUBLE) / n
+                 + (CASE WHEN CAST(n * stt - st * st AS DOUBLE) <> 0.0
+                    THEN CAST(n * sty - st * sy AS DOUBLE)
+                         / CAST(n * stt - st * st AS DOUBLE) END)
+                   * (CAST(t + 10 AS DOUBLE) - CAST(st AS DOUBLE) / n), 4)
+               AS predicted
+    FROM w
     """,
     # conversation-flow transition matrix over adjacent turn pairs
     "tool_transitions": f"""{_TRANSCRIPTS_CTE},

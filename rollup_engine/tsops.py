@@ -1525,3 +1525,62 @@ def burn_from_minutes(
         alert_short.alias("alert_short"),
         (alert_long & alert_short).alias("alert"),
     )
+
+
+# --------------------------------------------------------- linear trend
+
+
+def trend_from_minutes(
+    minutes: DataFrame,
+    value_col: str = "cnt",
+    window_minutes: int = 30,
+    horizon_minutes: int = 10,
+    round_dp: int | None = 4,
+) -> DataFrame:
+    """PromQL ``deriv`` + ``predict_linear`` analog over a per-minute
+    relation: least-squares slope of the trailing window and the
+    extrapolated value ``horizon_minutes`` ahead — the capacity
+    trigger ("disk full in 4 h") that alerting stacks build on.
+
+    Same exactness recipe as rolling_zscore: the window computes five
+    EXACT integer moments (n, Σt, Σy, Σty, Σt²; t = epoch minutes, so
+    the largest term Σt² ≈ 5e16 stays far inside int64), then ONE
+    fixed sequence of IEEE double ops both engines evaluate
+    identically.  slope is per minute; NULL when the window has a
+    single sample (denominator 0).
+    """
+    minute_us = 60_000_000
+    base = minutes.withColumn(
+        "_t",
+        F.floor(F.unix_micros(F.col("bucket_start")) / F.lit(minute_us)).cast(
+            "long"
+        ),
+    ).withColumn("_y", F.col(value_col).cast("long"))
+    w = Window.orderBy("_t").rangeBetween(-(window_minutes - 1), 0)
+    agg = base.withColumns(
+        {
+            "_n": F.count(F.lit(1)).over(w),
+            "_st": F.sum("_t").over(w),
+            "_sy": F.sum("_y").over(w),
+            "_sty": F.sum(F.col("_t") * F.col("_y")).over(w),
+            "_stt": F.sum(F.col("_t") * F.col("_t")).over(w),
+        }
+    )
+    den = (agg["_n"] * agg["_stt"] - agg["_st"] * agg["_st"]).cast("double")
+    num = (agg["_n"] * agg["_sty"] - agg["_st"] * agg["_sy"]).cast("double")
+    slope = F.when(den != 0.0, num / den)
+    t_pred = (agg["_t"] + F.lit(horizon_minutes)).cast("double")
+    pred = (
+        agg["_sy"].cast("double") / agg["_n"]
+        + slope * (t_pred - agg["_st"].cast("double") / agg["_n"])
+    )
+    if round_dp is not None:
+        slope = F.round(slope, round_dp)
+        pred = F.round(pred, round_dp)
+    return agg.select(
+        "bucket_start",
+        F.col("_n").alias("n_samples"),
+        F.col("_y").alias("value"),
+        slope.alias("slope_per_min"),
+        pred.alias("predicted"),
+    )

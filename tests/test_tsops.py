@@ -1536,3 +1536,29 @@ def test_burn_rate_multiwindow_fires_and_resets(spark):
     # combined alert resets even though the long window still burns
     assert out[50].alert_long and not out[50].alert_short
     assert not out[50].alert
+
+
+def test_trend_from_minutes_exact_line(spark):
+    """A perfectly linear series recovers its slope exactly and the
+    extrapolation lands on the line; a constant series has slope 0 and
+    predicts itself; a single sample yields NULL slope."""
+    import datetime as dt
+
+    from rollup_engine.tsops import trend_from_minutes
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base + dt.timedelta(minutes=m), 100 + 7 * m) for m in range(40)]
+    df = spark.createDataFrame(rows, "bucket_start timestamp, cnt long")
+    out = {r.bucket_start.minute + 60 * r.bucket_start.hour: r
+           for r in trend_from_minutes(df).collect()}
+    assert out[0].slope_per_min is None and out[0].n_samples == 1
+    assert out[35].slope_per_min == 7.0
+    # value at t+10 on the line: 100 + 7*(35+10)
+    assert out[35].predicted == 100 + 7 * 45
+    flat = spark.createDataFrame(
+        [(base + dt.timedelta(minutes=m), 42) for m in range(10)],
+        "bucket_start timestamp, cnt long",
+    )
+    r9 = [r for r in trend_from_minutes(flat).collect()
+          if r.bucket_start.minute == 9][0]
+    assert r9.slope_per_min == 0.0 and r9.predicted == 42.0
