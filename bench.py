@@ -843,6 +843,7 @@ def run_zorder_leg(turns: int | None = None) -> dict:
     from rollup_engine.ingest import (
         ZORDER_HASH_COL,
         write_zorder_table,
+        zorder_hash,
     )
     from rollup_engine.session import get_spark
 
@@ -863,10 +864,7 @@ def run_zorder_leg(turns: int | None = None) -> dict:
         spark.conf.set(key, "TIMESTAMP_MICROS")
         try:
             (
-                plain.withColumn(
-                    ZORDER_HASH_COL,
-                    F.pmod(F.xxhash64("conv_id"), F.lit(65536)),
-                )
+                plain.withColumn(ZORDER_HASH_COL, zorder_hash())
                 .repartition(64)
                 .write.mode("overwrite")
                 .parquet(npath)
@@ -882,10 +880,7 @@ def run_zorder_leg(turns: int | None = None) -> dict:
         spark.conf.set(key, "TIMESTAMP_MICROS")
         try:
             (
-                plain.withColumn(
-                    ZORDER_HASH_COL,
-                    F.pmod(F.xxhash64("conv_id"), F.lit(65536)),
-                )
+                plain.withColumn(ZORDER_HASH_COL, zorder_hash())
                 .repartitionByRange(64, "ts")
                 .sortWithinPartitions("ts")
                 .write.mode("overwrite")
@@ -902,7 +897,7 @@ def run_zorder_leg(turns: int | None = None) -> dict:
     hashes = [
         r[0]
         for r in spark.createDataFrame([(c,) for c in convs], "conv_id string")
-        .select(F.pmod(F.xxhash64("conv_id"), F.lit(65536)))
+        .select(zorder_hash())
         .collect()
     ]
 

@@ -15,6 +15,8 @@ of one row, not a shuffle).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -25,6 +27,12 @@ def quality_audit(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     (rule, n_rows, n_violations, violation_rate)."""
     if not rules:
         raise ValueError("need at least one rule")
+    for name in rules:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(
+                f"rule name {name!r} must be a bare identifier — it is "
+                "interpolated into a stack() SQL expression"
+            )
     aggs = [F.count(F.lit(1)).alias("_n")] + [
         F.sum(F.when(c, F.lit(1)).otherwise(F.lit(0))).alias(f"_v_{name}")
         for name, c in rules.items()
@@ -64,9 +72,13 @@ def transcript_rules(now=None) -> dict[str, Column]:
 def duplicate_key_count(df: DataFrame) -> DataFrame:
     """Companion check needing a distinct (two-phase, still one scan):
     rows carrying an already-seen (conv_id, turn_idx)."""
+    # distinct over a STRUCT, not the bare columns: count_distinct of
+    # multiple columns drops any tuple containing a NULL (SQL DISTINCT
+    # tuple semantics), which would count every NULL-key row as a
+    # duplicate — and transcript_rules explicitly anticipates NULL keys
     return df.agg(
         (
             F.count(F.lit(1))
-            - F.count_distinct(F.col("conv_id"), F.col("turn_idx"))
+            - F.count_distinct(F.struct("conv_id", "turn_idx"))
         ).alias("n_duplicate_keys")
     )

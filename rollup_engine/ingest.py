@@ -36,6 +36,13 @@ ZORDER_HASH_COL = "conv_c16"
 _ZORDER_HASH_MOD = 65536
 
 
+def zorder_hash(conv_col: str = "conv_id"):
+    """THE conv-hash expression: writer layout, persisted column,
+    reader probes, and any bench baseline must all use this one
+    definition or footer pruning silently stops matching."""
+    return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(_ZORDER_HASH_MOD))
+
+
 def write_partitioned(
     df: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS, mode: str = "overwrite"
 ) -> None:
@@ -140,7 +147,7 @@ def write_zorder_table(
         F.floor((t_us - F.lit(lo)).cast("double") / F.lit(width) * 65536.0),
         F.lit(65535),
     ).cast("long")
-    conv16 = F.pmod(F.xxhash64(F.col(conv_col)), F.lit(_ZORDER_HASH_MOD))
+    conv16 = zorder_hash(conv_col)
     z = df
     if hash_col is not None:
         # persist the SAME value the curve interleaves — the reader's
@@ -170,12 +177,17 @@ def write_zorder_table(
             spark.conf.set(key, prev)
 
 
-def read_zorder(spark: SparkSession, path: str) -> DataFrame:
-    """Plain scan of a z-ordered table, layout column dropped.  Time
-    pruning needs no helper — any ``ts`` range predicate hits the
-    sharpened footer stats directly."""
+def read_zorder(
+    spark: SparkSession, path: str, hash_col: str | None = ZORDER_HASH_COL
+) -> DataFrame:
+    """Plain scan of a z-ordered table, layout column dropped (pass the
+    same ``hash_col`` the table was written with; None = nothing to
+    drop).  Time pruning needs no helper — any ``ts`` range predicate
+    hits the sharpened footer stats directly."""
     df = spark.read.parquet(path)
-    return df.drop(ZORDER_HASH_COL) if ZORDER_HASH_COL in df.columns else df
+    if hash_col and hash_col in df.columns:
+        df = df.drop(hash_col)
+    return df
 
 
 def read_zorder_convs(
@@ -183,6 +195,7 @@ def read_zorder_convs(
     path: str,
     conv_ids: list[str],
     conv_col: str = "conv_id",
+    hash_col: str = ZORDER_HASH_COL,
 ) -> DataFrame:
     """Conversation-pruned scan of a z-ordered table.
 
@@ -195,19 +208,21 @@ def read_zorder_convs(
     bytes.  The exact ``conv_id IN`` filter then removes 16-bit hash
     collisions; correctness never depends on the pruning.
     """
+    df = spark.read.parquet(path)
+    if hash_col not in df.columns:
+        raise ValueError(
+            f"z-ordered table at {path} has no {hash_col!r} column — "
+            "was it written with write_zorder_table(hash_col=None)? "
+            "Pass the name it was written with."
+        )
     hashes = [
         r[0]
         for r in spark.createDataFrame(
             [(c,) for c in conv_ids], f"{conv_col} string"
         )
-        .select(F.pmod(F.xxhash64(conv_col), F.lit(_ZORDER_HASH_MOD)))
+        .select(zorder_hash(conv_col))
         .collect()
     ]
-    return (
-        spark.read.parquet(path)
-        .where(
-            F.col(ZORDER_HASH_COL).isin(hashes)
-            & F.col(conv_col).isin(conv_ids)
-        )
-        .drop(ZORDER_HASH_COL)
-    )
+    return df.where(
+        F.col(hash_col).isin(hashes) & F.col(conv_col).isin(conv_ids)
+    ).drop(hash_col)

@@ -15,7 +15,7 @@ paths (``encode_png``/``encode_gif``/``encode_bmp`` /
 ``pixel_feature``) run genuinely end-to-end with no image library.
 BASELINE JPEG pixel decode is REAL too (``decode_jpeg``/
 ``encode_jpeg``: numpy matrix DCT, canonical Huffman, DC prediction,
-restart markers, any h×v chroma sampling incl. 4:2:0) — all FOUR
+restart markers, integer-ratio h×v chroma sampling incl. 4:2:0) — all FOUR
 container formats decode to pixels with zero image libraries; it is a
 correctness-first per-block implementation, sized for feature
 extraction over bounded Arrow batches, not a SIMD codec.  AUDIO is
@@ -792,8 +792,9 @@ def _read_symbol(br: "_BitReader", table: dict) -> int:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """REAL baseline JPEG pixel decode — pure numpy, no image library:
     DHT canonical Huffman, DC prediction + EXTEND, AC run-length,
-    dequant, inverse zigzag, matrix IDCT, chroma upsampling (any
-    h×v sampling factors incl. 4:2:0), YCbCr→RGB, restart markers.
+    dequant, inverse zigzag, matrix IDCT, chroma
+    upsampling (integer-ratio h×v sampling factors: 4:4:4, 4:2:2,
+    4:2:0, 4:1:1), YCbCr→RGB, restart markers.
     Baseline sequential (SOF0) only; progressive raises ValueError.
     Returns uint8 (h, w, 3) RGB (gray replicated)."""
     import struct
@@ -861,6 +862,13 @@ def _decode_scan(payload, pos, frame, qt, huff, smap, restart_interval):
     fh, fw, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    for _cid, h8, v, _tq in comps:
+        if h8 == 0 or v == 0 or hmax % h8 or vmax % v:
+            raise ValueError(
+                f"non-integer chroma upsampling ratio (factors {h8}x{v} "
+                f"vs max {hmax}x{vmax}) — only integer-ratio sampling "
+                "(4:4:4, 4:2:2, 4:2:0, 4:1:1) is supported"
+            )
     mcux = -(-fw // (8 * hmax))
     mcuy = -(-fh // (8 * vmax))
     planes = {
@@ -1043,6 +1051,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, ch, rate, _br, _ba, bits = fmt
+    if ch == 0:
+        raise ValueError("WAV declares zero channels")
     if audio_format != 1 or bits not in (8, 16):
         raise ValueError(
             f"unsupported WAV subset (format={audio_format} bits={bits}):"
@@ -1104,6 +1114,15 @@ def _digest_feature(digest: bytes) -> np.ndarray:
     )
 
 
+# Malformed payloads surface as more than ValueError: struct.error on
+# truncated fixed fields, IndexError on exhausted byte walks,
+# ZeroDivisionError on degenerate header values.  A corrupt payload in
+# a batch must degrade to the documented stand-in, never kill the task.
+import struct as _struct  # noqa: E402
+
+_DECODE_ERRORS = (ValueError, _struct.error, IndexError, KeyError, ZeroDivisionError)
+
+
 def _decode_image(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
     """Real header parse when the payload is a recognized image
     container; otherwise the deterministic fake decoder (``fake=True``)
@@ -1114,7 +1133,7 @@ def _decode_image(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
         try:
             px = decode_png(payload)
             return px.shape[1], px.shape[0], pixel_feature(px)
-        except ValueError:
+        except _DECODE_ERRORS:
             # valid magic but outside the supported subset (palette/
             # 16-bit/interlaced) — dimensions from the header, digest
             # feature stand-in
@@ -1123,21 +1142,21 @@ def _decode_image(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
         try:
             px = decode_gif(payload)
             return px.shape[1], px.shape[0], pixel_feature(px)
-        except ValueError:
+        except _DECODE_ERRORS:
             # malformed or exotic GIF — header dims + digest stand-in
             pass
     if payload[:2] == b"BM":
         try:
             px = decode_bmp(payload)
             return px.shape[1], px.shape[0], pixel_feature(px)
-        except ValueError:
+        except _DECODE_ERRORS:
             # RLE/paletted/16-bit BMP — header dims + digest stand-in
             pass
     if payload[:2] == b"\xff\xd8":
         try:
             px = decode_jpeg(payload)
             return px.shape[1], px.shape[0], pixel_feature(px)
-        except ValueError:
+        except _DECODE_ERRORS:
             # progressive/arithmetic/corrupt JPEG — header dims +
             # digest stand-in
             pass
@@ -1150,7 +1169,7 @@ def _decode_image(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
                 samples.shape[1],
                 audio_feature(rate, samples),
             )
-        except ValueError:
+        except _DECODE_ERRORS:
             pass
     dims = parse_image_header(payload)
     if dims is not None:

@@ -352,16 +352,25 @@ def q_tiered_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges snapped to the coarser tier's boundary, bands disjoint.
 
     Deployment shape (round-5 plan-audit fix): raw turns are read ONCE
-    into the minute hist tier (persisted — the materialized-tier analog;
-    8.8k rows at sf0.01), and hour/day derive from it by hist-state
-    cascade.  The first version built each tier with its own
-    ``rollup()`` over raw — three full scans and three conv exchanges
-    for one serving view, the exact re-read pattern the tier
-    architecture exists to eliminate."""
+    into the minute hist tier, MATERIALIZED to parquet (the real
+    materialized-tier analog — a persisted-DataFrame version leaked
+    cached partitions for the session's lifetime, the review finding),
+    and hour/day derive from the stored tier by hist-state cascade.
+    The first version built each tier with its own ``rollup()`` over
+    raw — three full scans and three conv exchanges for one serving
+    view, the exact re-read pattern the tier architecture exists to
+    eliminate."""
+    import os
+
     from .hist_rollup import hist_cascade, hist_rollup
+    from .queries_pipeline import _workdir
     from .retention import stitch_tiers
 
-    minute = hist_rollup(_deltas(spark, sf_dir), "minute").persist()
+    tier_path = os.path.join(_workdir("tiered", sf_dir), "minute")
+    hist_rollup(_deltas(spark, sf_dir), "minute").write.mode(
+        "overwrite"
+    ).parquet(tier_path)
+    minute = spark.read.parquet(tier_path)
     return stitch_tiers(
         {
             "minute": minute.select(*_STD_COLS),
@@ -1710,7 +1719,10 @@ ORACLES: dict[str, str] = {
     r AS (
         SELECT *, row_number() OVER (
             PARTITION BY conv_id, turn_idx
-            ORDER BY ts DESC, md5(COALESCE(text, '')) DESC
+            ORDER BY ts DESC,
+                     md5(COALESCE(text, '') || chr(31)
+                         || COALESCE(role, '') || chr(31)
+                         || COALESCE(tool, '')) DESC
         ) AS rn
         FROM u
     )

@@ -23,10 +23,12 @@ which is the piece that spills first on a hot-key partition — and
 because an aggregate composes with partial pushdown everywhere a sort
 does not.
 
-Winner rule: greatest (ts, md5(text)) — latest delivery wins, md5 as
-the deterministic tiebreak for true same-timestamp duplicates.  md5 is
-available verbatim in DuckDB, so the driver oracle can state the same
-rule (xxhash64 could not be cross-checked).
+Winner rule: greatest (ts, md5(text‖role‖tool)) — latest delivery
+wins, with an md5 over the full payload as the deterministic tiebreak
+for true same-timestamp duplicates (hashing text alone would leave
+same-ts rows differing only in role/tool to an arbitrary max_by pick).
+md5 is available verbatim in DuckDB, so the driver oracle states the
+same rule (xxhash64 could not be cross-checked).
 """
 
 from __future__ import annotations
@@ -37,13 +39,21 @@ from pyspark.sql import functions as F
 KEY = ("conv_id", "turn_idx")
 
 
-def version_key(ts_col: str = "ts", text_col: str = "text"):
+def version_key(ts_col: str = "ts"):
     """The total order that picks the winner among duplicates of one
-    key: latest ts first, md5(text) as the deterministic tiebreak.
-    NULL text hashes as '' so the order is total."""
+    key: latest ts first, then md5 over the FULL payload (text, role,
+    tool — unit-separator-joined, NULLs as '') so two same-ts
+    duplicates differing in ANY column still have one deterministic
+    winner.  DuckDB states the identical rule with chr(31)."""
+    payload = F.concat_ws(
+        "\x1f",
+        F.coalesce(F.col("text"), F.lit("")),
+        F.coalesce(F.col("role"), F.lit("")),
+        F.coalesce(F.col("tool"), F.lit("")),
+    )
     return F.struct(
         F.col(ts_col).alias("v_ts"),
-        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("v_tie"),
+        F.md5(payload).alias("v_tie"),
     )
 
 

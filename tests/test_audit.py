@@ -62,3 +62,24 @@ def test_duplicate_key_count(spark):
     ]
     df = spark.createDataFrame(rows, COLS)
     assert duplicate_key_count(df).first().n_duplicate_keys == 1
+
+
+def test_duplicate_key_count_null_keys_not_duplicates(spark):
+    rows = [
+        (None, 0, "u", "a", None, T0),
+        ("c1", 0, "u", "b", None, T0),
+        ("c2", 1, "u", "c", None, T0),
+        (None, 0, "u", "d", None, T0),  # the only real duplicate pair
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    assert duplicate_key_count(df).first().n_duplicate_keys == 1
+
+
+def test_quality_audit_rejects_non_identifier_rule_names(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("c", 0, "u", "x", None, T0)], COLS)
+    with _pytest.raises(ValueError):
+        quality_audit(df, {"bad name": F.col("text").isNull()})
+    with _pytest.raises(ValueError):
+        quality_audit(df, {"x'); drop": F.col("text").isNull()})

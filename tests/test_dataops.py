@@ -1318,3 +1318,31 @@ def test_mp4_header_parse():
     assert multimodal.parse_mp4_header(b"notamp4file") is None
     # truncated box must fail safe, not crash
     assert multimodal.parse_mp4_header(_minimal_mp4()[:30] ) is None
+
+
+def test_corrupt_payloads_degrade_not_crash():
+    """Review finding: malformed payloads raised struct.error /
+    IndexError / ZeroDivisionError past the ValueError handlers and
+    killed the task.  Every corrupt variant must now fall back to the
+    header-dims/digest stand-in (or the fake path), never raise."""
+    import numpy as np
+
+    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    gif = multimodal.encode_gif(pal[np.zeros((8, 8), int)])
+    jpg = multimodal.encode_jpeg(np.full((8, 8, 3), 50, np.uint8))
+    wav = multimodal.encode_wav(np.zeros(100, np.int16))
+    import struct as _s
+
+    zero_ch_wav = (
+        b"RIFF" + _s.pack("<I", 36) + b"WAVE"
+        + b"fmt " + _s.pack("<I", 16) + _s.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+        + b"data" + _s.pack("<I", 4) + b"\x00" * 4
+    )
+    for payload in (
+        gif[: len(gif) // 2],        # struct.error in image descriptor
+        jpg[:-20],                   # IndexError in the bit reader
+        wav[:20],                    # truncated fmt chunk
+        zero_ch_wav,                 # ZeroDivisionError guard
+    ):
+        w, h, feat = multimodal._decode_image(bytes(payload), fake=True)
+        assert len(feat) == 8  # stand-in feature, task alive

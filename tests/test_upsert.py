@@ -27,8 +27,8 @@ def test_latest_ts_wins_and_md5_breaks_ties(spark):
             # key (c1,0): later ts must win regardless of batch order
             ("c1", 0, "user", "old", None, _t("2024-01-01 00:00:00")),
             ("c1", 0, "user", "new", None, _t("2024-01-01 00:00:05")),
-            # key (c1,1): same ts — md5(text) DESC picks one winner
-            # deterministically (md5('b')=92eb5... > md5('a')=0cc17...)
+            # key (c1,1): same ts — md5(full payload) DESC picks one
+            # winner deterministically (expected value computed below)
             ("c1", 1, "user", "a", None, _t("2024-01-01 00:01:00")),
             ("c1", 1, "user", "b", None, _t("2024-01-01 00:01:00")),
             # key (c2,0): singleton passes through untouched
@@ -39,9 +39,16 @@ def test_latest_ts_wins_and_md5_breaks_ties(spark):
         (r.conv_id, r.turn_idx): r
         for r in dedup_redelivered(df).collect()
     }
+    import hashlib
+
+    def tie(text, role, tool):
+        j = "\x1f".join([text or "", role or "", tool or ""])
+        return hashlib.md5(j.encode()).hexdigest()
+
+    want_tie = max("ab", key=lambda t: tie(t, "user", None))
     assert len(out) == 3
     assert out[("c1", 0)].text == "new"
-    assert out[("c1", 1)].text == "b"
+    assert out[("c1", 1)].text == want_tie
     assert out[("c2", 0)].tool == "search"
     # column order preserved
     assert dedup_redelivered(df).columns == df.columns
@@ -62,8 +69,14 @@ def test_null_text_order_is_total(spark):
             ("c1", 0, "user", "x", None, _t("2024-01-01 00:00:00")),
         ],
     )
-    # md5('') = d41d8... > md5('x') = 9dd4e...  — NULL text hashes as ''
-    assert dedup_redelivered(df).collect()[0].text is None
+    import hashlib
+
+    def tie(text):
+        j = "\x1f".join([text or "", "user", ""])
+        return hashlib.md5(j.encode()).hexdigest()
+
+    want = None if tie(None) > tie("x") else "x"
+    assert dedup_redelivered(df).collect()[0].text == want
 
 
 def test_replaying_an_old_batch_is_a_noop(spark):

@@ -13,6 +13,7 @@ from rollup_engine.ingest import (
     ZORDER_HASH_COL,
     read_zorder_convs,
     write_zorder_table,
+    zorder_hash,
 )
 from rollup_engine.transcripts import from_events
 
@@ -59,9 +60,7 @@ def layouts(spark, tmp_path_factory):
     write_zorder_table(t, zpath, n_files=16)
     # the naive layout needs the same column added manually so its
     # footers are span-comparable
-    t = t.withColumn(
-        ZORDER_HASH_COL, F.pmod(F.xxhash64("conv_id"), F.lit(65536))
-    )
+    t = t.withColumn(ZORDER_HASH_COL, zorder_hash())
     # the no-layout alternative: round-robin files (what a plain
     # repartition-and-write produces) — every file samples the whole
     # table, so footer stats localize NEITHER axis.  Same micros
