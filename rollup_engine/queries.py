@@ -441,6 +441,20 @@ def q_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_from_minutes(minutes)
 
 
+def q_changes_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL changes()/resets() analog (tsops.changes_and_resets):
+    per minute tick, transitions and decreases of the per-minute turn
+    volume within the trailing 30 minutes."""
+    from .tsops import changes_and_resets
+
+    minutes = (
+        from_events(spark, sf_dir)
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return changes_and_resets(minutes)
+
+
 def q_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-contract audit (audit.quality_audit): per-invariant
     violation counts in ONE conditional-sum aggregate over one scan —
@@ -1214,6 +1228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_audit": q_data_audit,
     "tool_transitions": q_tool_transitions,
     "predict_linear": q_predict_linear,
+    "changes_resets": q_changes_resets,
     "rollup_sketch_minute": q_rollup_sketch_minute,
     "rollup_hour_cascade": q_rollup_hour_cascade,
     "rollup_day_cascade": q_rollup_day_cascade,
@@ -1297,6 +1312,7 @@ _DRIVER_OVERFLOW = [
     "data_audit",
     "tool_transitions",
     "predict_linear",
+    "changes_resets",
     "pii_redact",
     "source_cap_sample",
     "cusum_drift",
@@ -1552,6 +1568,31 @@ ORACLES: dict[str, str] = {
            {_METRICS_SQL}
     FROM d WHERE delta_ms IS NOT NULL
     GROUP BY 2
+    """,
+    # changes()/resets(): pairwise transition flags then RANGE sums
+    "changes_resets": f"""{_TRANSCRIPTS_CTE},
+    b AS (
+        SELECT date_trunc('minute', ts) AS bucket_start,
+               epoch_us(date_trunc('minute', ts)) // 60000000 AS t,
+               count(*) AS y
+        FROM t GROUP BY 1, 2
+    ),
+    fl AS (
+        SELECT bucket_start, t, y,
+               CASE WHEN lag(y) OVER (ORDER BY t) IS NOT NULL
+                         AND y <> lag(y) OVER (ORDER BY t)
+                    THEN 1 ELSE 0 END AS chg,
+               CASE WHEN lag(y) OVER (ORDER BY t) IS NOT NULL
+                         AND y < lag(y) OVER (ORDER BY t)
+                    THEN 1 ELSE 0 END AS rst
+        FROM b
+    )
+    SELECT bucket_start,
+           CAST(y AS BIGINT) AS value,
+           CAST(sum(chg) OVER fr AS BIGINT) AS n_changes,
+           CAST(sum(rst) OVER fr AS BIGINT) AS n_resets
+    FROM fl
+    WINDOW fr AS (ORDER BY t RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
     """,
     # deriv/predict_linear: exact integer moments (n, Σt, Σy, Σty,
     # Σt²) over a 30-min RANGE frame, one mirrored double op sequence

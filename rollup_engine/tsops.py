@@ -1584,3 +1584,43 @@ def trend_from_minutes(
         slope.alias("slope_per_min"),
         pred.alias("predicted"),
     )
+
+
+def changes_and_resets(
+    minutes: DataFrame,
+    value_col: str = "cnt",
+    window_minutes: int = 30,
+) -> DataFrame:
+    """PromQL ``changes()`` and ``resets()`` over a per-minute series:
+    per tick, how many times the value changed / decreased (counter
+    reset) within the trailing window.  One lag + two conditional
+    flags, then RANGE-frame integer sums over the calendar-bounded
+    minute relation — same scale shape as the burn/trend evaluators.
+    The first sample of the series contributes no transition (lag is
+    NULL), exactly like PromQL's pairwise definition."""
+    minute_us = 60_000_000
+    base = minutes.withColumn(
+        "_t",
+        F.floor(F.unix_micros(F.col("bucket_start")) / F.lit(minute_us)).cast(
+            "long"
+        ),
+    )
+    seq = Window.orderBy("_t")
+    prev = F.lag(F.col(value_col)).over(seq)
+    flagged = base.withColumns(
+        {
+            "_chg": F.when(
+                prev.isNotNull() & (F.col(value_col) != prev), F.lit(1)
+            ).otherwise(F.lit(0)),
+            "_rst": F.when(
+                prev.isNotNull() & (F.col(value_col) < prev), F.lit(1)
+            ).otherwise(F.lit(0)),
+        }
+    )
+    w = Window.orderBy("_t").rangeBetween(-(window_minutes - 1), 0)
+    return flagged.select(
+        "bucket_start",
+        F.col(value_col).alias("value"),
+        F.sum("_chg").over(w).alias("n_changes"),
+        F.sum("_rst").over(w).alias("n_resets"),
+    )

@@ -1562,3 +1562,23 @@ def test_trend_from_minutes_exact_line(spark):
     r9 = [r for r in trend_from_minutes(flat).collect()
           if r.bucket_start.minute == 9][0]
     assert r9.slope_per_min == 0.0 and r9.predicted == 42.0
+
+
+def test_changes_and_resets_semantics(spark):
+    """Crafted series: [5,5,7,3,3,9] → changes at ticks 2,3,5; reset
+    (decrease) only at tick 3; first sample contributes nothing."""
+    import datetime as dt
+
+    from rollup_engine.tsops import changes_and_resets
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [5, 5, 7, 3, 3, 9]
+    df = spark.createDataFrame(
+        [(base + dt.timedelta(minutes=m), v) for m, v in enumerate(vals)],
+        "bucket_start timestamp, cnt long",
+    )
+    out = {r.bucket_start.minute: r for r in changes_and_resets(df).collect()}
+    assert (out[0].n_changes, out[0].n_resets) == (0, 0)
+    assert (out[2].n_changes, out[2].n_resets) == (1, 0)
+    assert (out[3].n_changes, out[3].n_resets) == (2, 1)
+    assert (out[5].n_changes, out[5].n_resets) == (3, 1)
