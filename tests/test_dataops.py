@@ -1346,3 +1346,59 @@ def test_corrupt_payloads_degrade_not_crash():
     ):
         w, h, feat = multimodal._decode_image(bytes(payload), fake=True)
         assert len(feat) == 8  # stand-in feature, task alive
+
+
+# ------------------------- randomized codec properties (hypothesis)
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _rgb_images(draw, max_side=12, max_colors=None):
+    h = draw(st.integers(1, max_side))
+    w = draw(st.integers(1, max_side))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.RandomState(seed)
+    if max_colors:
+        pal = rng.randint(0, 256, size=(max_colors, 3), dtype=np.uint8)
+        return pal[rng.randint(0, max_colors, size=(h, w))]
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_rgb_images())
+def test_prop_png_bmp_roundtrip_exact(img):
+    assert np.array_equal(multimodal.decode_png(multimodal.encode_png(img)), img)
+    assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_rgb_images(max_colors=17))
+def test_prop_gif_roundtrip_exact(img):
+    assert np.array_equal(multimodal.decode_gif(multimodal.encode_gif(img)), img)
+    assert np.array_equal(
+        multimodal.decode_gif(multimodal.encode_gif(img, interlace=True)), img
+    )
+
+
+@settings(max_examples=20, deadline=None)
+@given(_rgb_images(max_side=10))
+def test_prop_jpeg_roundtrip_tolerance(img):
+    px = multimodal.decode_jpeg(multimodal.encode_jpeg(img))
+    assert px.shape == img.shape
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 3
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 400),
+    st.integers(1, 3),
+    st.integers(0, 2**31 - 1),
+    st.sampled_from([4000, 8000, 16000]),
+)
+def test_prop_wav_roundtrip_exact(n, ch, seed, rate):
+    rng = np.random.RandomState(seed)
+    pcm = rng.randint(-32768, 32768, size=(n, ch)).astype(np.int16)
+    got_rate, back = multimodal.decode_wav(multimodal.encode_wav(pcm, rate))
+    assert got_rate == rate and np.array_equal(back, pcm)
