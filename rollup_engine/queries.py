@@ -466,6 +466,22 @@ def q_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_auto_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution router (retention.select_tier/auto_rollup): a 20-day
+    range at an 800-point budget routes to the hour tier (480 buckets;
+    the minute tier's 28 800 would blow the budget).  The unchosen
+    tiers stay lazy — never executed, zero extra scans."""
+    from .retention import auto_rollup
+
+    d = _deltas(spark, sf_dir)
+    tiers = {
+        "minute": rollup(d, "minute"),
+        "hour": rollup(d, "hour"),
+        "day": rollup(d, "day"),
+    }
+    return auto_rollup(tiers, "2024-01-05 00:00:00", "2024-01-25 00:00:00", 800)
+
+
 def q_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRE multiwindow burn-rate alerts (tsops.burn_rate_alerts): 5xx
     rate over trailing 60 min > 3×SLO AND over trailing 5 min > 6×SLO
@@ -1229,6 +1245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tool_transitions": q_tool_transitions,
     "predict_linear": q_predict_linear,
     "changes_resets": q_changes_resets,
+    "auto_resolution": q_auto_resolution,
     "rollup_sketch_minute": q_rollup_sketch_minute,
     "rollup_hour_cascade": q_rollup_hour_cascade,
     "rollup_day_cascade": q_rollup_day_cascade,
@@ -1313,6 +1330,7 @@ _DRIVER_OVERFLOW = [
     "tool_transitions",
     "predict_linear",
     "changes_resets",
+    "auto_resolution",
     "pii_redact",
     "source_cap_sample",
     "cusum_drift",
@@ -1568,6 +1586,17 @@ ORACLES: dict[str, str] = {
            {_METRICS_SQL}
     FROM d WHERE delta_ms IS NOT NULL
     GROUP BY 2
+    """,
+    # resolution router: 20 days / 800 points → the hour tier, banded
+    "auto_resolution": f"""{_DELTAS_CTE},
+    h AS (
+        SELECT 'hour' AS tier, date_trunc('hour', ts) AS bucket_start,
+               {_METRICS_SQL}
+        FROM d WHERE delta_ms IS NOT NULL GROUP BY 2
+    )
+    SELECT * FROM h
+    WHERE bucket_start >= TIMESTAMP '2024-01-05 00:00:00'
+      AND bucket_start <  TIMESTAMP '2024-01-25 00:00:00'
     """,
     # changes()/resets(): pairwise transition flags then RANGE sums
     "changes_resets": f"""{_TRANSCRIPTS_CTE},

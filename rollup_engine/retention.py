@@ -174,6 +174,40 @@ def stitch_tiers(tiers: dict[str, DataFrame], now) -> DataFrame:
     return out
 
 
+def select_tier(range_start, range_end, max_points: int) -> str:
+    """Resolution router (the Grafana auto-interval analog): the
+    FINEST tier whose bucket count over [range_start, range_end) fits
+    ``max_points`` — a dashboard asking for a month at 800 points gets
+    the hour tier, not 43 200 minute buckets it would only re-bin
+    client-side.  Pure arithmetic on the tier registry; falls back to
+    the coarsest tier when nothing fits."""
+    import datetime as _dt
+
+    def _ts(x):
+        return x if isinstance(x, _dt.datetime) else _dt.datetime.fromisoformat(str(x))
+
+    span_s = max((_ts(range_end) - _ts(range_start)).total_seconds(), 0.0)
+    order = ["minute", "hour", "day"]
+    for name in order:
+        if span_s / _TIER_SECS[name] <= max_points:
+            return name
+    return order[-1]
+
+
+def auto_rollup(
+    tiers: dict[str, DataFrame], range_start, range_end, max_points: int
+) -> DataFrame:
+    """Serve [range_start, range_end) from the tier select_tier picks:
+    one bucket_start range filter over that materialized tier —
+    partition-prunable, no re-aggregation, no client-side re-binning."""
+    name = select_tier(range_start, range_end, max_points)
+    df = tiers[name]
+    return df.where(
+        (F.col("bucket_start") >= F.lit(range_start).cast("timestamp"))
+        & (F.col("bucket_start") < F.lit(range_end).cast("timestamp"))
+    )
+
+
 def expire(rollup_df: DataFrame, tier: str, now) -> DataFrame:
     """Retention: drop buckets older than the tier's horizon."""
     t = TIERS[tier]

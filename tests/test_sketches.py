@@ -221,3 +221,19 @@ def test_stitch_tiers_bands_disjoint_and_edge_snapped(spark):
     # Jan-only data, 90-day hour horizon → the day band is empty
     assert out.where("tier = 'day'").count() == 0
     out.unpersist()
+
+def test_select_tier_boundaries():
+    """Router boundaries: exactly-fits stays fine-grained; one bucket
+    over the budget falls to the next tier; nothing fits → coarsest."""
+    import datetime as dt
+
+    from rollup_engine.retention import select_tier
+
+    t0 = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    assert select_tier(t0, t0 + day, 1440) == "minute"  # exactly fits
+    assert select_tier(t0, t0 + day, 1439) == "hour"
+    assert select_tier(t0, t0 + 30 * day, 800) == "hour"  # 720 ≤ 800
+    assert select_tier(t0, t0 + 30 * day, 100) == "day"
+    assert select_tier(t0, t0 + 3650 * day, 10) == "day"  # fallback
+    assert select_tier("2024-01-01", "2024-01-02", 1440) == "minute"
