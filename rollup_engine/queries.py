@@ -1624,7 +1624,10 @@ ORACLES: dict[str, str] = {
     WINDOW fr AS (ORDER BY t RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
     """,
     # deriv/predict_linear: exact integer moments (n, Σt, Σy, Σty,
-    # Σt²) over a 30-min RANGE frame, one mirrored double op sequence
+    # Σt²) over a 30-min RANGE frame, one mirrored double op sequence.
+    # round(double, 4) carries the same accepted cross-engine
+    # .5-boundary risk documented for anomaly_zscore (ewma docstring);
+    # in practice both gates hash-match every recorded round.
     "predict_linear": f"""{_TRANSCRIPTS_CTE},
     b AS (
         SELECT date_trunc('minute', ts) AS bucket_start,
