@@ -80,3 +80,109 @@ def test_random_transcripts_match_duckdb(spark, tmp_path, seed):
     )
     problems = compare(hist_out, oracle)
     assert not problems, problems
+
+def _sparse_minutes(spark, seed, n=240, keep=0.6, max_cnt=50):
+    """Random SPARSE per-minute series (gaps!) — the RANGE-frame
+    evaluators' semantics on missing minutes is exactly what the
+    mostly-dense sf gate data under-exercises."""
+    import datetime as dt
+
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (
+            base + dt.timedelta(minutes=m),
+            int(rng.randint(1, max_cnt)),
+            int(rng.randint(0, 10)),
+        )
+        for m in range(n)
+        if rng.random_sample() < keep
+    ]
+    return rows, spark.createDataFrame(
+        rows, "bucket_start timestamp, cnt long, err long"
+    )
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_burn_windows_on_sparse_series_vs_pandas(spark, seed):
+    """burn_from_minutes trailing sums == an independent pandas
+    time-window reference on gappy series (empty minutes contribute
+    nothing; the frame is keyed on TIME, not row position)."""
+    from rollup_engine.tsops import burn_from_minutes
+
+    rows, df = _sparse_minutes(spark, seed)
+    got = {
+        r.bucket_start: (r.cnt_long, r.err_long, r.cnt_short, r.err_short)
+        for r in burn_from_minutes(df).collect()
+    }
+    assert len(got) == len(rows)
+    import datetime as dt
+
+    for ts, cnt, err in rows:
+        lo_l = ts - dt.timedelta(minutes=59)
+        lo_s = ts - dt.timedelta(minutes=4)
+        want_l = [(c, e) for t2, c, e in rows if lo_l <= t2 <= ts]
+        want_s = [(c, e) for t2, c, e in rows if lo_s <= t2 <= ts]
+        assert got[ts] == (
+            sum(c for c, _ in want_l),
+            sum(e for _, e in want_l),
+            sum(c for c, _ in want_s),
+            sum(e for _, e in want_s),
+        ), ts
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_trend_on_sparse_series_vs_numpy(spark, seed):
+    """trend_from_minutes slope == numpy polyfit over the same
+    time-window samples on gappy series (within rounding to 4dp)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from rollup_engine.tsops import trend_from_minutes
+
+    rows, df = _sparse_minutes(spark, seed, n=120)
+    got = {r.bucket_start: r.slope_per_min for r in trend_from_minutes(df).collect()}
+    for ts, _cnt, _err in rows:
+        lo = ts - dt.timedelta(minutes=29)
+        win = [(t2, c) for t2, c, _ in rows if lo <= t2 <= ts]
+        if len(win) < 2:
+            assert got[ts] is None
+            continue
+        t = np.array([(t2 - rows[0][0]).total_seconds() / 60 for t2, _ in win])
+        y = np.array([c for _, c in win], dtype=float)
+        slope = np.polyfit(t, y, 1)[0]
+        assert got[ts] is not None
+        assert abs(got[ts] - slope) < 2e-4, (ts, got[ts], slope)
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_changes_resets_on_sparse_series_vs_python(spark, seed):
+    """changes/resets on gappy series: transitions are PAIRWISE over
+    the ordered samples (PromQL semantics), while the counting window
+    is time-keyed."""
+    import datetime as dt
+
+    from rollup_engine.tsops import changes_and_resets
+
+    rows, df = _sparse_minutes(spark, seed, n=120, keep=0.5, max_cnt=5)
+    got = {
+        r.bucket_start: (r.n_changes, r.n_resets)
+        for r in changes_and_resets(df).collect()
+    }
+    flags = []
+    for i, (ts, c, _e) in enumerate(rows):
+        if i == 0:
+            flags.append((ts, 0, 0))
+        else:
+            prev = rows[i - 1][1]
+            flags.append((ts, int(c != prev), int(c < prev)))
+    for ts, _c, _e in rows:
+        lo = ts - dt.timedelta(minutes=29)
+        want = [(ch, rs) for t2, ch, rs in flags if lo <= t2 <= ts]
+        assert got[ts] == (
+            sum(ch for ch, _ in want),
+            sum(rs for _, rs in want),
+        ), ts
