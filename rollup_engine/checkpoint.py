@@ -44,10 +44,27 @@ class SnapshotStore:
     # ------------------------------------------------------------ write
 
     def append(self, df: DataFrame) -> int:
-        """Append rows as a new snapshot; returns the new snapshot id."""
+        """Append rows as a new snapshot; returns the new snapshot id.
+
+        The write forces TIMESTAMP_MICROS: Spark's legacy INT96
+        timestamp encoding writes NO parquet min/max stats, which
+        silently left every manifest's ts_min/ts_max lineage as None —
+        the column stats this module exists to harvest (file skipping,
+        lateness profiling) require the annotated int64 encoding.
+        """
         sid = self.current_snapshot_id() + 1
         out_dir = os.path.join(self.root, "data", f"s{sid:08d}")
-        df.write.mode("overwrite").parquet(out_dir)
+        spark = df.sparkSession
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            df.write.mode("overwrite").parquet(out_dir)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         files = sorted(
             os.path.relpath(p, self.root)
             for p in glob.glob(os.path.join(out_dir, "*.parquet"))

@@ -282,3 +282,83 @@ def rollup_diff(
             F.coalesce(newc, F.lit(0)) - F.coalesce(oldc, F.lit(0)),
         )
     )
+
+
+def lateness_profile(
+    store: SnapshotStore, spark: SparkSession, percentiles=(0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Event-time lateness observed across ingest batches — the
+    instrument that TELLS you what streaming watermark / refresh
+    overlap to configure, instead of guessing: for each snapshot after
+    the first, a row is LATE if its ts precedes the event-time
+    high-water mark of all earlier snapshots; lateness = that gap.
+
+    Returns one row per snapshot: rows, late rows, late fraction, and
+    lateness percentiles (seconds).  Cost: one bounded pass per
+    snapshot over only that snapshot's files (the per-snapshot ts max
+    comes from the manifest lineage — parquet footer stats, no extra
+    scan), so profiling an N-snapshot store reads each byte once.
+    """
+    out_rows = []
+    hwm = None  # event-time high-water mark over earlier snapshots
+    for m in store.manifests():
+        sid = m["snapshot_id"]
+        if m.get("expired"):
+            # raw bytes reclaimed; lineage still carries the ts span
+            snap_max = max(
+                (s["ts_max"] for s in m["lineage"].values()
+                 if s["ts_max"] not in (None, "None")),
+                default=None,
+            )
+            if snap_max is not None:
+                hwm = snap_max if hwm is None else max(hwm, snap_max)
+            continue
+        df = store.incremental(spark, sid - 1, sid)
+        if hwm is None:
+            row = df.agg(
+                F.count(F.lit(1)).alias("rows"),
+            ).first()
+            out_rows.append((sid, row["rows"], 0, 0.0, *(None,) * len(percentiles)))
+        else:
+            late_s = (
+                F.unix_micros(F.lit(hwm).cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+            ) / F.lit(1000000.0)
+            agg = df.select(
+                F.when(late_s > 0, late_s).alias("_late")
+            ).agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.count("_late").alias("late_rows"),
+                *[
+                    F.percentile_approx("_late", p, 10000).alias(f"_p{i}")
+                    for i, p in enumerate(percentiles)
+                ],
+            )
+            row = agg.first()
+            out_rows.append(
+                (
+                    sid,
+                    row["rows"],
+                    row["late_rows"],
+                    round(row["late_rows"] / row["rows"], 4) if row["rows"] else 0.0,
+                    *[
+                        round(row[f"_p{i}"], 3) if row[f"_p{i}"] is not None else None
+                        for i in range(len(percentiles))
+                    ],
+                )
+            )
+        # manifests carry per-file ts stats; fall back to a scan only
+        # if lineage is somehow absent
+        # ISO "YYYY-MM-DD HH:MM:SS[.ffffff]" strings order correctly
+        # lexicographically, so string max == chronological max
+        snap_max = max(
+            (s["ts_max"] for s in m["lineage"].values()
+             if s["ts_max"] not in (None, "None")),
+            default=None,
+        )
+        if snap_max is not None:
+            hwm = snap_max if hwm is None else max(hwm, snap_max)
+    schema = "snapshot_id long, rows long, late_rows long, late_frac double"
+    for i, p in enumerate(percentiles):
+        schema += f", late_p{int(p * 100)}_sec double"
+    return spark.createDataFrame(out_rows, schema)

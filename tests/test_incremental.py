@@ -240,3 +240,35 @@ def test_expire_snapshots_reclaims_applied_raw(spark, data):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_lateness_profile_measures_cross_batch_lateness(spark, data):
+    """Crafted batches: snapshot 2 re-delivers rows 1 hour older than
+    snapshot 1's high-water mark plus fresh rows — the profile must
+    count exactly the late rows and place p50 lateness at the planted
+    gap; snapshot 1 (no earlier watermark) reports zero."""
+    import datetime as dt
+
+    from rollup_engine.incremental import lateness_profile
+
+    _full, _b1, _b2, store, _work = data
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    cols = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    b1 = spark.createDataFrame(
+        [("a", i, "user", "x", None, base + dt.timedelta(minutes=i)) for i in range(10)],
+        cols,
+    )  # hwm = base + 9min
+    late_ts = base - dt.timedelta(minutes=51)  # 1h before hwm
+    b2 = spark.createDataFrame(
+        [("b", 0, "user", "late", None, late_ts),
+         ("b", 1, "user", "late", None, late_ts),
+         ("a", 10, "user", "fresh", None, base + dt.timedelta(minutes=20))],
+        cols,
+    )
+    store.append(b1)
+    store.append(b2)
+    prof = {r.snapshot_id: r for r in lateness_profile(store, spark).collect()}
+    assert prof[1].rows == 10 and prof[1].late_rows == 0
+    assert prof[2].rows == 3 and prof[2].late_rows == 2
+    assert prof[2].late_frac == round(2 / 3, 4)
+    assert abs(prof[2].late_p50_sec - 3600.0) < 1.0
