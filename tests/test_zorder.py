@@ -137,3 +137,21 @@ def test_zorder_pruned_conv_read_exact(spark, layouts):
     ).first()[0]
     assert sig(got) == sig(want)
     assert ZORDER_HASH_COL not in got.columns
+
+
+def test_pruned_read_pushes_in_filter_to_scan(spark, layouts):
+    """The conv_c16 In-predicate must reach the parquet scan as a
+    pushed filter — that is the mechanism row-group skipping hangs on;
+    a plan where it stays a post-scan Filter reads every row group."""
+    import re
+
+    _, zpath, _ = layouts
+    df = read_zorder_convs(spark, zpath, ["42", "77"])
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PushedFilters: (.*)", plan)
+    assert m, plan
+    pushed = m.group(1)
+    assert "In(conv_c16" in pushed, pushed
+    assert "In(conv_id" in pushed, pushed
