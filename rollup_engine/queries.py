@@ -1264,6 +1264,7 @@ from .queries_pipeline import (  # noqa: E402
     q_stream_sessionize,
     q_stream_alerts,
     q_stream_burn_rate,
+    q_stream_predict_linear,
     q_stream_sliding,
 )
 
@@ -1273,6 +1274,7 @@ QUERIES["stream_sessionize"] = q_stream_sessionize
 QUERIES["stream_sliding"] = q_stream_sliding
 QUERIES["stream_alerts"] = q_stream_alerts
 QUERIES["stream_burn_rate"] = q_stream_burn_rate
+QUERIES["stream_predict_linear"] = q_stream_predict_linear
 QUERIES["incremental_minute"] = q_incremental_minute
 QUERIES["realtime_rollup"] = q_realtime_rollup
 
@@ -1341,6 +1343,7 @@ _DRIVER_OVERFLOW = [
     "time_weighted_percentile",
     "stream_alerts",
     "stream_burn_rate",
+    "stream_predict_linear",
     "pivot_roles",
     "vocab_topk",
     "asof_join_tolerance",
@@ -1982,6 +1985,7 @@ ORACLES["stream_sessionize"] = ORACLES["sessionize"]
 # Continuous-mode burn rate must equal the batch evaluation exactly —
 # same oracle, the stream only swaps in the materialized minute feed.
 ORACLES["stream_burn_rate"] = ORACLES["burn_rate"]
+ORACLES["stream_predict_linear"] = ORACLES["predict_linear"]
 
 # Keyed hist-engine rollup must equal the plain SQL keyed rollup —
 # same oracle, different engine (the sketch/cascade-gate precedent).

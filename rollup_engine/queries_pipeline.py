@@ -274,6 +274,50 @@ def q_stream_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burn_from_minutes(minutes)
 
 
+def q_stream_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-mode capacity trigger == the batch ``predict_linear``
+    gate (oracle reused verbatim): the SAME materialized per-minute
+    feed the burn-rate twin streams (stream_minute_errors) drives
+    tsops.trend_from_minutes — one stream materialization serves every
+    trailing-window evaluator, which is the point of the feed."""
+    from .streaming import run_burn_stream_once
+    from .tsops import trend_from_minutes
+
+    work = _workdir("streamtrend", sf_dir)
+    t = from_events(spark, sf_dir)
+    max_ts = t.agg(F.max("ts")).first()[0]
+    input_dir = os.path.join(work, "input")
+    t.repartition(4, "conv_id").write.mode("overwrite").parquet(input_dir)
+    real_parts = set(os.listdir(input_dir))
+
+    sentinel_ts = F.lit(max_ts) + F.expr("INTERVAL 30 DAYS")
+    sentinel = spark.range(2).select(
+        F.lit(_SENTINEL_CONV).alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("").alias("text"),
+        F.lit("").alias("tool"),
+        (sentinel_ts + F.col("id") * F.expr("INTERVAL 1 SECOND")).alias("ts"),
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(input_dir)
+    now = time.time()
+    for f in set(os.listdir(input_dir)) - real_parts:
+        os.utime(os.path.join(input_dir, f), (now + 60, now + 60))
+
+    n_real = len([f for f in real_parts if f.startswith("part-")])
+    run_burn_stream_once(
+        spark,
+        input_dir,
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "out"),
+        max_files=n_real,
+    )
+    minutes = spark.read.parquet(os.path.join(work, "out")).where(
+        F.col("bucket_start") <= F.lit(max_ts)
+    )
+    return trend_from_minutes(minutes)
+
+
 def q_stream_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator == batch hysteresis alerting
     (oracle reused verbatim): applyInPandasWithState keeps one
