@@ -129,3 +129,26 @@ def test_upsert_plan_is_partial_agg(spark):
     assert "partial_max_by" in phys or "partial_maxby" in phys.lower(), phys
     assert "Window" not in phys
     assert phys.count("Aggregate") >= 2
+
+
+def test_merge_is_idempotent_and_batch_split_invariant(spark):
+    """Algebraic laws the exactly-once contract rests on: applying the
+    same batch twice changes nothing (idempotence), and merging two
+    batches sequentially equals merging their union in one shot
+    (the winner is a total order, so grouping cannot matter)."""
+    rng_rows = [
+        ("c%d" % (i % 7), i % 5, "user", "t%d" % (i % 11), None,
+         _t("2024-01-01 00:00:00")) for i in range(40)
+    ]
+    target = _rows(spark, rng_rows[:15])
+    b1 = _rows(spark, rng_rows[15:30])
+    b2 = _rows(spark, rng_rows[30:])
+
+    def sig(df):
+        return sorted(map(tuple, df.collect()))
+
+    once = merge_upsert(target, b1)
+    assert sig(merge_upsert(once, b1)) == sig(once)  # idempotent
+    seq = merge_upsert(merge_upsert(target, b1), b2)
+    oneshot = merge_upsert(target, b1.unionByName(b2))
+    assert sig(seq) == sig(oneshot)  # grouping-invariant
