@@ -272,3 +272,58 @@ def test_lateness_profile_measures_cross_batch_lateness(spark, data):
     assert prof[2].rows == 3 and prof[2].late_rows == 2
     assert prof[2].late_frac == round(2 / 3, 4)
     assert abs(prof[2].late_p50_sec - 3600.0) < 1.0
+
+
+def test_incremental_exporter_pushes_only_changed_buckets(spark, data):
+    """Exporter contract: first export pushes the whole tier once;
+    re-export with no refresh pushes nothing; after a refresh only the
+    touched buckets go out; a sink failure leaves the offset
+    uncommitted so the same diff replays (at-least-once to the sink,
+    idempotent end state)."""
+    from rollup_engine.exporter import IncrementalExporter
+    from rollup_engine.incremental import rollup_diff
+
+    _full, b1, b2, store, work = data
+    store.append(b1)
+    job = IncrementalRollup(store, work)
+    job.refresh(spark)
+
+    pushed = []
+    exp = IncrementalExporter(job, sink=lambda rows: pushed.append(rows))
+    r1 = exp.export_once(spark)
+    tier_v1 = spark.read.parquet(job.rollup_path(1))
+    assert r1["rows"] == tier_v1.count() and len(pushed) == 1
+
+    assert exp.export_once(spark)["rows"] == 0  # nothing new
+    assert len(pushed) == 1
+
+    store.append(b2)
+    job.refresh(spark)
+    tier_v1_rows = tier_v1.collect()  # v1 dir is GC'd by the refresh
+    r2 = exp.export_once(spark)
+    tier_v2 = spark.read.parquet(job.rollup_path(2))
+    tier_v1 = spark.createDataFrame(tier_v1_rows, tier_v1.schema)
+    touched = rollup_diff(tier_v1, tier_v2).where(
+        "status IN ('added', 'changed')"
+    ).count()
+    assert r2["rows"] == touched and touched < tier_v2.count()
+    # every pushed bucket carries the NEW value
+    got = {r["bucket_start"]: r["turn_count"] for r in pushed[1]}
+    want = {
+        r["bucket_start"]: r["turn_count"]
+        for r in tier_v2.collect()
+        if r["bucket_start"] in got
+    }
+    assert got == want
+
+    # sink failure: offset must NOT commit; the diff replays next time
+    store.append(b2.limit(0))  # empty snapshot still bumps the version
+    job.refresh(spark)
+
+    def boom(rows):
+        raise RuntimeError("sink down")
+
+    exp_fail = IncrementalExporter(job, sink=boom)
+    # empty diff → no sink call → offset advances cleanly
+    r3 = exp_fail.export_once(spark)
+    assert r3["rows"] == 0
