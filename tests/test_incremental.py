@@ -297,9 +297,13 @@ def test_incremental_exporter_pushes_only_changed_buckets(spark, data):
     assert exp.export_once(spark)["rows"] == 0  # nothing new
     assert len(pushed) == 1
 
-    store.append(b2)
+    tier_v1_rows = tier_v1.collect()  # BEFORE the refresh GCs the v1 dir
+    # restrict batch 2 to a few conversations: every conv owns its own
+    # minute bucket in this fixture, so an unrestricted b2 would touch
+    # EVERY bucket and the only-changed-buckets claim would be vacuous
+    b2_sub = b2.where("conv_id IN ('conv-3', 'conv-4', 'conv-5')")
+    store.append(b2_sub)
     job.refresh(spark)
-    tier_v1_rows = tier_v1.collect()  # v1 dir is GC'd by the refresh
     r2 = exp.export_once(spark)
     tier_v2 = spark.read.parquet(job.rollup_path(2))
     tier_v1 = spark.createDataFrame(tier_v1_rows, tier_v1.schema)
@@ -327,3 +331,37 @@ def test_incremental_exporter_pushes_only_changed_buckets(spark, data):
     # empty diff → no sink call → offset advances cleanly
     r3 = exp_fail.export_once(spark)
     assert r3["rows"] == 0
+
+    # crash replay: a non-empty diff + failing sink must leave the
+    # offset UNCOMMITTED, and the identical diff must replay on the
+    # next export (at-least-once to the sink, idempotent end state)
+    store.append(b2.where("conv_id = 'conv-6'"))
+    job.refresh(spark)
+    committed = exp_fail.exported_version()
+    with pytest.raises(RuntimeError, match="sink down"):
+        exp_fail.export_once(spark)
+    assert exp_fail.exported_version() == committed  # offset not advanced
+
+    exp_retry = IncrementalExporter(job, sink=lambda rows: pushed.append(rows))
+    r4 = exp_retry.export_once(spark)
+    cur = job.checkpoint()["version"]
+    tier_cur = spark.read.parquet(job.rollup_path(cur))
+    conv6_buckets = {
+        r["bucket_start"]
+        for r in with_deltas(clean(b2.where("conv_id = 'conv-6'")), keep_first_turn=True)
+        .selectExpr("date_trunc('minute', ts) AS bucket_start")
+        .distinct()
+        .collect()
+    }
+    assert r4["rows"] > 0
+    assert exp_retry.exported_version() == cur
+    # the replayed push carries the CURRENT tier values for exactly the
+    # buckets conv-6's new turns live in
+    got4 = {r["bucket_start"]: r["turn_count"] for r in pushed[-1]}
+    assert set(got4) <= conv6_buckets
+    want4 = {
+        r["bucket_start"]: r["turn_count"]
+        for r in tier_cur.collect()
+        if r["bucket_start"] in got4
+    }
+    assert got4 == want4
