@@ -16,7 +16,7 @@ from . import filters as flt
 from .deltas import with_deltas
 from .percentiles import exact_nearest_rank
 from .rollup import global_rollup, rollup
-from .transcripts import EVENTS_TO_TRANSCRIPTS_SQL, from_events
+from .transcripts import EVENTS_TO_TRANSCRIPTS_SQL, events_deltas, from_events
 
 # ---------------------------------------------------------------- helpers
 
@@ -52,7 +52,9 @@ _METRICS_SQL = """
 
 
 def _deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_deltas(from_events(spark, sf_dir))
+    # fused one-window form of with_deltas(from_events(...)) — one Sort
+    # node instead of two (row-identical; see transcripts.events_deltas)
+    return events_deltas(spark, sf_dir)
 
 
 def _rollup_tier_sql(unit: str) -> str:
@@ -389,7 +391,7 @@ def q_conv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial-aggregated; count_distinct is the only two-phase term).
     keep_first_turn: the profile counts every turn — the first turn's
     null delta is simply ignored by AVG, in both engines."""
-    d = with_deltas(from_events(spark, sf_dir), keep_first_turn=True)
+    d = events_deltas(spark, sf_dir, keep_first_turn=True)
     err = F.when(F.col("tool").startswith("error:"), F.lit(1.0)).otherwise(
         F.lit(0.0)
     )

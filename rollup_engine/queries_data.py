@@ -10,12 +10,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import ann, dedup, multimodal, textops
+from .fanout import fan_out
 
 # --------------------------------------------------------------- loaders
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-file testdata scans as ONE split; fan the rows out before
+    # the regex/shingle-heavy per-row work (measured 6.1× on
+    # text_features at sf1.0 — see fanout.py).  doc_id keying keeps the
+    # exchange deterministic and reusable by downstream id-keyed ops.
+    from .fanout import input_size_bytes, tune_shuffle_for_input
+
+    path = f"{sf_dir}/documents.parquet"
+    tune_shuffle_for_input(spark, input_size_bytes(path))
+    return fan_out(spark.read.parquet(path), "doc_id")
 
 
 # The driver's embeddings tables are 64-dim at every scale factor
@@ -26,7 +35,12 @@ EMBEDDING_DIM = 64
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # same single-split story as _docs: distribute the vector math
+    from .fanout import input_size_bytes, tune_shuffle_for_input
+
+    path = f"{sf_dir}/embeddings.parquet"
+    tune_shuffle_for_input(spark, input_size_bytes(path))
+    df = fan_out(spark.read.parquet(path), "vec_id")
     return df.withMetadata("embedding", {"dim": EMBEDDING_DIM})
 
 

@@ -26,7 +26,13 @@ from pyspark.sql import functions as F
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .fanout import input_size_bytes, tune_shuffle_for_input
+
+    path = f"{sf_dir}/events.parquet"
+    # size the session's shuffle parallelism to THIS input (guide §2.2;
+    # a constant 4×cores measured ~40% slower at sf1.0 — see fanout.py)
+    tune_shuffle_for_input(spark, input_size_bytes(path))
+    return spark.read.parquet(path)
 
 
 def from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,6 +75,60 @@ def from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # parquet TIMESTAMP_NTZ → session-TZ (UTC) instant; shift-free
         F.col("ts").cast("timestamp").alias("ts"),
     )
+
+
+def events_deltas(
+    spark: SparkSession, sf_dir: str, keep_first_turn: bool = False
+) -> DataFrame:
+    """``with_deltas(from_events(...))`` fused into ONE window pass.
+
+    ``turn_idx`` orders each conversation by ``(ts, event_id)``, so
+    ``lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)`` equals
+    ``lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, event_id)`` —
+    computing row_number and lag in the SAME window spec lets Catalyst
+    plan one Sort + one Window where the generic composition pays a
+    second full sort (by turn_idx) and a second Window pass over every
+    row (measured in plans/r06/rollup_minute_{before,after}.txt; the
+    round-6 plan has one Sort node, the round-5 plan two).  Row-for-row
+    identical to the composition (pinned by
+    tests/test_plans.py::test_events_deltas_fused_matches_composition).
+    """
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "ts",
+        "event_id",
+        "event_type",
+        "props",
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    ts_cast = F.col("ts").cast("timestamp")
+    # delta arithmetic copied verbatim from deltas.with_deltas so the
+    # IEEE operation order (and hence the oracle hash) cannot drift
+    out = base.select(
+        "conv_id",
+        (F.row_number().over(w) - F.lit(1)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(
+            F.col("event_type") == "error",
+            F.when(F.col("event_id") % 2 == 0, F.lit("error:4xx")).otherwise(
+                F.lit("error:5xx")
+            ),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("tool"),
+        ts_cast.alias("ts"),
+        F.floor(
+            (F.unix_micros(ts_cast) - F.unix_micros(F.lag(ts_cast).over(w)))
+            / F.lit(1000)
+        )
+        .cast("long")
+        .alias("delta_ms"),
+    )
+    if keep_first_turn:
+        return out
+    return out.where(F.col("delta_ms").isNotNull())
 
 
 # The same mapping as ANSI SQL for the DuckDB oracle (single source of

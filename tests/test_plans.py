@@ -261,6 +261,52 @@ def test_pivot_single_pass(spark):
     assert "pivotfirst" in plan, plan
 
 
+def test_events_deltas_fused_matches_composition(spark):
+    """Round-6: the fused events→deltas pipeline (row_number AND lag in
+    ONE window over (conv_id, ts, event_id)) must be row-identical to
+    the generic with_deltas(from_events(...)) composition, and its plan
+    must contain exactly ONE Sort and ONE Window node (the composition
+    pays a second sort by turn_idx and a second Window pass)."""
+    import re
+
+    from rollup_engine.transcripts import events_deltas
+
+    fused = events_deltas(spark, SF)
+    composed = with_deltas(from_events(spark, SF))
+    assert fused.columns == composed.columns
+    assert fused.schema == composed.schema
+    assert fused.exceptAll(composed).count() == 0
+    assert composed.exceptAll(fused).count() == 0
+
+    plan = _plan(fused)
+    assert len(re.findall(r"^\(\d+\) Sort", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    # keep_first_turn variant too (conv_profile input)
+    fused_all = events_deltas(spark, SF, keep_first_turn=True)
+    composed_all = with_deltas(from_events(spark, SF), keep_first_turn=True)
+    assert fused_all.exceptAll(composed_all).count() == 0
+    assert composed_all.exceptAll(fused_all).count() == 0
+
+
+def test_fan_out_is_noop_on_multi_split_input(spark, tmp_path):
+    """Round-6: fan_out must repartition a single-split scan to the
+    session's shuffle parallelism and leave an already-parallel scan
+    untouched (the 100 TB no-op guarantee)."""
+    from rollup_engine.fanout import fan_out, scan_splits
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert scan_splits(docs) == 1
+    fanned = fan_out(docs, "doc_id")
+    assert fanned.rdd.getNumPartitions() == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    assert fanned.count() == docs.count()
+
+    many = spark.range(0, 1000, 1, 64).withColumn("doc_id", F.col("id"))
+    assert fan_out(many, "doc_id") is many  # already-parallel: no-op
+
+
 def test_from_events_single_exchange(spark):
     """The events→transcripts mapping window and the downstream delta
     window must share ONE conv exchange (the gate/headline input path;
