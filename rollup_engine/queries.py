@@ -16,7 +16,12 @@ from . import filters as flt
 from .deltas import with_deltas
 from .percentiles import exact_nearest_rank
 from .rollup import global_rollup, rollup
-from .transcripts import EVENTS_TO_TRANSCRIPTS_SQL, events_deltas, from_events
+from .transcripts import (
+    EVENTS_TO_TRANSCRIPTS_SQL,
+    events_deltas,
+    events_deltas_filtered,
+    from_events,
+)
 
 # ---------------------------------------------------------------- helpers
 
@@ -113,20 +118,24 @@ def q_rollup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rollup_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship composition (README.md:52-61): filter by
     terms + trailing time, then aggregate."""
-    t = from_events(spark, sf_dir).where(
-        flt.conditions(
-            exclude=["signup"], now=FILTER_NOW, latest_minutes=FILTER_MINUTES
+    return global_rollup(
+        events_deltas_filtered(
+            spark,
+            sf_dir,
+            flt.conditions(
+                exclude=["signup"], now=FILTER_NOW, latest_minutes=FILTER_MINUTES
+            ),
         )
     )
-    return global_rollup(with_deltas(t))
 
 
 def q_empty_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: zero matched rows ⇒ count=0, metrics null."""
-    t = from_events(spark, sf_dir).where(
-        flt.conditions(include=["no-such-term-xyzzy"])
+    return global_rollup(
+        events_deltas_filtered(
+            spark, sf_dir, flt.conditions(include=["no-such-term-xyzzy"])
+        )
     )
-    return global_rollup(with_deltas(t))
 
 
 def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

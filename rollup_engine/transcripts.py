@@ -131,6 +131,68 @@ def events_deltas(
     return out.where(F.col("delta_ms").isNotNull())
 
 
+def events_deltas_filtered(
+    spark: SparkSession, sf_dir: str, condition
+) -> DataFrame:
+    """``with_deltas(from_events(...).where(condition))`` without the
+    re-sort after the filter.
+
+    The filter must sit BETWEEN the two windows (turn_idx numbers the
+    unfiltered conversation; deltas pair the SURVIVING turns — the
+    reference's filter-then-pair order).  Ordering the lag window by
+    the original ``(ts, event_id)`` instead of ``turn_idx`` is
+    equivalent (turn_idx is the row_number of exactly that ordering,
+    and a filter preserves it), and because Spark's alias-aware output
+    ordering carries the first sort through the projection and filter,
+    the lag window needs NO second Sort node — one exchange, one sort,
+    two Window passes (the second over only the filtered rows).
+    """
+    ev = load_events(spark, sf_dir)
+    # alias the ordering column ONCE, below the first sort, and key BOTH
+    # window specs on the alias: the first window's sort then carries
+    # through the projection and the filter, and the lag window's
+    # required ordering matches it syntactically — no second Sort node
+    base = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").alias("_ord_ts"),
+        "event_id",
+        "event_type",
+        "props",
+    )
+    w = Window.partitionBy("conv_id").orderBy("_ord_ts", "event_id")
+    ts_cast = F.col("_ord_ts").cast("timestamp")
+    t = base.select(
+        "conv_id",
+        (F.row_number().over(w) - F.lit(1)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(
+            F.col("event_type") == "error",
+            F.when(F.col("event_id") % 2 == 0, F.lit("error:4xx")).otherwise(
+                F.lit("error:5xx")
+            ),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("tool"),
+        ts_cast.alias("ts"),
+        "_ord_ts",
+        "event_id",
+    )
+    f = t.where(condition)
+    w2 = Window.partitionBy("conv_id").orderBy("_ord_ts", "event_id")
+    out = (
+        f.withColumn(
+            "delta_ms",
+            F.floor(
+                (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w2)))
+                / F.lit(1000)
+            ).cast("long"),
+        )
+        .drop("_ord_ts", "event_id")
+    )
+    return out.where(F.col("delta_ms").isNotNull())
+
+
 # The same mapping as ANSI SQL for the DuckDB oracle (single source of
 # truth — __spark_entry__.py embeds this as a CTE).
 EVENTS_TO_TRANSCRIPTS_SQL = """

@@ -289,6 +289,31 @@ def test_events_deltas_fused_matches_composition(spark):
     assert composed_all.exceptAll(fused_all).count() == 0
 
 
+def test_events_deltas_filtered_matches_composition(spark):
+    """Round-6: the filter-between-the-windows pipeline (turn_idx over
+    ALL events, deltas over the SURVIVORS) must match the generic
+    composition row-for-row while planning only ONE Sort — the lag
+    window reorders by the same (ts, event_id) carrier the first sort
+    established, so the filter costs no re-sort."""
+    import re
+
+    from rollup_engine import filters as flt
+    from rollup_engine.queries import FILTER_MINUTES, FILTER_NOW
+    from rollup_engine.transcripts import events_deltas_filtered
+
+    cond = flt.conditions(
+        exclude=["signup"], now=FILTER_NOW, latest_minutes=FILTER_MINUTES
+    )
+    fused = events_deltas_filtered(spark, SF, cond)
+    composed = with_deltas(from_events(spark, SF).where(cond))
+    assert fused.columns == composed.columns
+    assert fused.exceptAll(composed).count() == 0
+    assert composed.exceptAll(fused).count() == 0
+    plan = _plan(fused)
+    assert len(re.findall(r"^\(\d+\) Sort", plan, re.M)) == 1, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+
+
 def test_fan_out_is_noop_on_multi_split_input(spark, tmp_path):
     """Round-6: fan_out must repartition a single-split scan to the
     session's shuffle parallelism and leave an already-parallel scan
