@@ -449,7 +449,9 @@ def q_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("minute", F.col("ts")).alias("bucket_start"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return trend_from_minutes(minutes)
+    # gate-facing 4-dp rounding (matches the frozen oracle SQL); the
+    # operator itself now returns full precision
+    return trend_from_minutes(minutes, round_dp=4)
 
 
 def q_changes_resets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -364,7 +364,10 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     still reproduce the exact SQL answer."""
     from .heavyhitters import heavy_hitters
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # fan out the single-split scan so the per-partition Misra-Gries
+    # pass parallelizes; the exact-recount phase makes the final answer
+    # partitioning-independent, so this cannot change the result
+    ev = fan_out(spark.read.parquet(f"{sf_dir}/events.parquet"), "user_id")
     return heavy_hitters(ev, "user_id", 1, 125)
 
 

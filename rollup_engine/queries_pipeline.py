@@ -315,7 +315,8 @@ def q_stream_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     minutes = spark.read.parquet(os.path.join(work, "out")).where(
         F.col("bucket_start") <= F.lit(max_ts)
     )
-    return trend_from_minutes(minutes)
+    # gate-facing 4-dp rounding (shares the predict_linear oracle)
+    return trend_from_minutes(minutes, round_dp=4)
 
 
 def q_stream_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:

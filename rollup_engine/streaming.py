@@ -65,19 +65,31 @@ def _delta_state_fn(
         last_idx, last_us = state.get
     else:
         last_idx, last_us = None, None
-    batches = [p for p in pdfs if not p.empty]
+    batches = [p for p in pdfs if len(p.index)]
     if not batches:
         return
-    pdf = pd.concat(batches).sort_values("turn_idx", kind="stable")
-    # keep the first occurrence per turn_idx (matches the old loop: a
-    # repeated idx neither emits nor advances state) and drop anything
-    # at or below the checkpointed index (at-least-once re-delivery)
-    pdf = pdf.drop_duplicates(subset=["turn_idx"], keep="first")
+    # Pure-numpy fast path (round-6): groups are typically tiny (one
+    # conversation), so per-group pandas machinery (sort_values,
+    # drop_duplicates, assign — each a full frame copy) dominated the
+    # stateful stage.  argsort + boolean masks on raw arrays do the
+    # same dedup/filter/diff with one copy and no index bookkeeping.
+    pdf = batches[0] if len(batches) == 1 else pd.concat(batches, copy=False)
+    idx = pdf["turn_idx"].to_numpy()
+    order = np.argsort(idx, kind="stable")
+    idx_s = idx[order]
+    # keep the first occurrence per turn_idx (a repeated idx neither
+    # emits nor advances state) and drop anything at or below the
+    # checkpointed index (at-least-once re-delivery)
+    keep = np.ones(len(idx_s), dtype=bool)
+    keep[1:] = idx_s[1:] != idx_s[:-1]
     if last_idx is not None:
-        pdf = pdf[pdf["turn_idx"] > last_idx]
-    if pdf.empty:
+        keep &= idx_s > last_idx
+    if not keep.any():
         return
-    ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    sel = order[keep]
+    idx_k = idx[sel]
+    ts_vals = pdf["ts"].to_numpy()[sel]
+    ts_us = ts_vals.astype("datetime64[us]").astype("int64")
     prev = np.empty_like(ts_us)
     prev[1:] = ts_us[:-1]
     emit = np.ones(len(ts_us), dtype=bool)
@@ -86,12 +98,17 @@ def _delta_state_fn(
     else:
         prev[0] = 0
         emit[0] = False  # a conversation's first-ever turn has no delta
-    out = pdf.assign(
-        conv_id=conv_id, delta_ms=(ts_us - prev) // 1000
-    )[["conv_id", "turn_idx", "ts", "tool", "delta_ms"]][emit]
-    state.update((int(pdf["turn_idx"].iloc[-1]), int(ts_us[-1])))
-    if not out.empty:
-        yield out
+    state.update((int(idx_k[-1]), int(ts_us[-1])))
+    if emit.any():
+        yield pd.DataFrame(
+            {
+                "conv_id": conv_id,
+                "turn_idx": idx_k[emit],
+                "ts": ts_vals[emit],
+                "tool": pdf["tool"].to_numpy()[sel][emit],
+                "delta_ms": ((ts_us - prev) // 1000)[emit],
+            }
+        )
 
 
 def stream_deltas(turns: DataFrame) -> DataFrame:
@@ -200,6 +217,23 @@ def stream_session_stats(
     )
 
 
+def _tune_stream_partitions(spark: SparkSession) -> None:
+    """Size state/shuffle partitions to the session's parallelism for
+    streaming queries (round-6).  Streaming has no AQE coalescing, the
+    partition count freezes into the checkpoint at first start, and
+    every state partition pays per-microbatch store open/commit I/O —
+    measured on the 1M-turn stream bench at local[8]: 32 partitions
+    (the batch 4×cores default of older rounds) 8.0 s vs 8 partitions
+    5.9 s.  On a real cluster this is the executor-core count — the
+    same submit-time knob; new checkpoints pick it up, existing ones
+    keep their frozen count (Spark reads it back from the checkpoint).
+    """
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+
+
 def run_session_stream_once(
     spark: SparkSession,
     input_dir: str,
@@ -213,6 +247,7 @@ def run_session_stream_once(
     """One availableNow sessionization pass over a file-source event
     stream; closed sessions append to the parquet sink, open-session
     state survives in the checkpoint for the next pass."""
+    _tune_stream_partitions(spark)
     events = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files)
@@ -253,6 +288,7 @@ def run_stream_once(
     resume conversation state and watermarks.  ``max_files=1`` forces
     one microbatch per file — watermarks then advance between files,
     letting a later file flush earlier windows in the same pass."""
+    _tune_stream_partitions(spark)
     turns = read_turn_stream(spark, input_dir, max_files=max_files)
     rollup = stream_minute_rollup(stream_deltas(turns))
     q = (
@@ -310,6 +346,7 @@ def run_sliding_stream_once(
 ) -> None:
     """One availableNow pass of the hopping-window stream (same file
     choreography as ``run_stream_once``)."""
+    _tune_stream_partitions(spark)
     turns = read_turn_stream(spark, input_dir, max_files=max_files)
     rollup = stream_sliding_rollup(stream_deltas(turns), length, hop)
     q = (
@@ -358,6 +395,7 @@ def run_burn_stream_once(
 ) -> None:
     """One availableNow pass materializing the per-minute error counts
     (same file choreography as ``run_stream_once``)."""
+    _tune_stream_partitions(spark)
     turns = read_turn_stream(spark, input_dir, max_files=max_files)
     counts = stream_minute_errors(turns)
     q = (
@@ -493,6 +531,7 @@ def run_alert_stream_once(
     transitions append to the parquet sink, per-conversation alert
     state survives in the checkpoint for the next pass (no watermark:
     transitions are final on arrival)."""
+    _tune_stream_partitions(spark)
     turns = read_turn_stream(spark, input_dir, max_files=max_files)
     alerts = stream_threshold_alerts(turns, enter=enter, exit=exit)
     q = (

@@ -1535,12 +1535,18 @@ def trend_from_minutes(
     value_col: str = "cnt",
     window_minutes: int = 30,
     horizon_minutes: int = 10,
-    round_dp: int | None = 4,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """PromQL ``deriv`` + ``predict_linear`` analog over a per-minute
     relation: least-squares slope of the trailing window and the
     extrapolated value ``horizon_minutes`` ahead — the capacity
     trigger ("disk full in 4 h") that alerting stacks build on.
+
+    ``round_dp`` defaults to None (full double precision — the
+    ewma/rolling_zscore policy): rounding is presentation, and Spark's
+    BigDecimal HALF_UP can disagree with another engine's double
+    rounding at exact .5 boundaries, so only gate-facing queries opt
+    into it (round-5 ADVICE class, closed round-6).
 
     Same exactness recipe as rolling_zscore: the window computes five
     EXACT integer moments (n, Σt, Σy, Σty, Σt²; t = epoch minutes, so
