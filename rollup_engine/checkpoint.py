@@ -152,16 +152,14 @@ class SnapshotStore:
             sid = m["snapshot_id"]
             if sid > up_to or m.get("expired"):
                 continue
-            for rel in m["files"]:
-                p = os.path.join(self.root, rel)
-                if os.path.exists(p):
-                    os.remove(p)
-                removed_files += 1
+            # Commit order (round-6, r5 ADVICE): tombstone the manifest
+            # FIRST (atomic tmp+rename), THEN delete the data files.  A
+            # crash mid-loop then leaves only harmless orphan files that
+            # a re-run reclaims; the old order (delete, then commit)
+            # could leave a live manifest pointing at deleted parquet,
+            # turning valid-range reads into missing-file errors.
+            data_files = list(m["files"])
             removed_rows += sum(s["rows"] for s in m["lineage"].values())
-            shutil.rmtree(
-                os.path.join(self.root, "data", f"s{sid:08d}"),
-                ignore_errors=True,
-            )
             m["expired"] = True
             m["files"] = []
             tmp = os.path.join(
@@ -171,6 +169,15 @@ class SnapshotStore:
             with open(tmp, "w") as f:
                 json.dump(m, f, indent=1, sort_keys=True)
             os.rename(tmp, final)
+            for rel in data_files:
+                p = os.path.join(self.root, rel)
+                if os.path.exists(p):
+                    os.remove(p)
+                removed_files += 1
+            shutil.rmtree(
+                os.path.join(self.root, "data", f"s{sid:08d}"),
+                ignore_errors=True,
+            )
             expired += 1
         return {
             "expired_snapshots": expired,

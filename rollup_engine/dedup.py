@@ -134,14 +134,25 @@ def ngram_jaccard_pairs(
     creates p² candidate contributions).
     """
     sh, sizes = _shingle_relation(df, n, id_col, text_col)
-    capped = sh.withColumn(
-        "_rn", F.row_number().over(Window.partitionBy("sh").orderBy("id"))
-    ).where(F.col("_rn") <= max_posting)
+    # round-6: posting list per shingle as ONE capped sorted array
+    # (identical survivor set to the old row_number cap — lowest ids),
+    # pairs exploded i<j; one exchange + one hash aggregate instead of
+    # cap window + inverted-index self-join.  |A∩B| = number of shared
+    # shingles = pair multiplicity across postings, exactly as before.
+    posting = (
+        sh.groupBy("sh")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("id")), 1, max_posting).alias(
+                "_ids"
+            )
+        )
+        .where(F.size("_ids") >= 2)
+    )
     pairs = (
-        capped.alias("a")
-        .join(capped.alias("b"), "sh")
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        posting.select(F.explode("_ids").alias("id_a"), "_ids")
+        .select("id_a", F.explode("_ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     return _jaccard(pairs, sizes, threshold)

@@ -142,6 +142,15 @@ def write_zorder_table(
             F.min(t_us).alias("lo"), F.max(t_us).alias("hi")
         ).first()
     )
+    if lo is None:
+        # empty (or all-null-ts) input: min/max come back NULL and the
+        # range normalization below would TypeError (round-6, r5
+        # ADVICE).  There is no layout to optimize — fail with a clear
+        # contract error instead of a crash deep in the arithmetic.
+        raise ValueError(
+            "write_zorder_table: input has no rows with a non-null "
+            f"{ts_col!r}; nothing to lay out"
+        )
     width = float(max(hi - lo, 1))
     hour16 = F.least(
         F.floor((t_us - F.lit(lo)).cast("double") / F.lit(width) * 65536.0),

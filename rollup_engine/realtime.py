@@ -100,8 +100,20 @@ def realtime_rollup(
         "minute": lambda d: d.second == 0 and d.microsecond == 0,
         "hour": lambda d: d.minute == d.second == d.microsecond == 0,
         "day": lambda d: d.hour == d.minute == d.second == d.microsecond == 0,
+        # calendar tiers (round-6, r5 ADVICE): week snaps to Monday
+        # midnight, month to the 1st — date_trunc semantics
+        "week": lambda d: d.weekday() == 0
+        and d.hour == d.minute == d.second == d.microsecond == 0,
+        "month": lambda d: d.day == 1
+        and d.hour == d.minute == d.second == d.microsecond == 0,
     }
-    if tier in aligned and not aligned[tier](split_ts):
+    if tier not in aligned:
+        # never let an unknown tier silently skip the straddle guard
+        raise ValueError(
+            f"realtime_rollup has no split-alignment rule for tier "
+            f"{tier!r}; supported: {sorted(aligned)}"
+        )
+    if not aligned[tier](split_ts):
         raise ValueError(f"split_ts {split_ts} is not a {tier}-bucket boundary")
 
     # Two predicates on the cold scan: the DAY_COL one is on the

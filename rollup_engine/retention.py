@@ -120,7 +120,14 @@ def cascade(rollup_df: DataFrame, to_tier: str) -> DataFrame:
     )
 
 
-_TIER_SECS = {"minute": 60, "hour": 3600, "day": 86400}
+_TIER_SECS = {
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    # calendar tiers use their nominal spans for point-budget routing
+    "week": 7 * 86400,
+    "month": 30 * 86400,
+}
 
 
 def stitch_tiers(tiers: dict[str, DataFrame], now) -> DataFrame:
@@ -174,20 +181,40 @@ def stitch_tiers(tiers: dict[str, DataFrame], now) -> DataFrame:
     return out
 
 
-def select_tier(range_start, range_end, max_points: int) -> str:
+def select_tier(
+    range_start,
+    range_end,
+    max_points: int,
+    available: list[str] | None = None,
+) -> str:
     """Resolution router (the Grafana auto-interval analog): the
     FINEST tier whose bucket count over [range_start, range_end) fits
     ``max_points`` — a dashboard asking for a month at 800 points gets
     the hour tier, not 43 200 minute buckets it would only re-bin
     client-side.  Pure arithmetic on the tier registry; falls back to
-    the coarsest tier when nothing fits."""
+    the coarsest AVAILABLE tier when nothing fits.
+
+    ``available`` restricts candidates to the tiers the caller actually
+    has (round-6, r5 ADVICE: routing over a hardcoded minute/hour/day
+    list raised KeyError in auto_rollup when the tiers dict lacked a
+    member; week/month now route too).
+    """
     import datetime as _dt
 
     def _ts(x):
         return x if isinstance(x, _dt.datetime) else _dt.datetime.fromisoformat(str(x))
 
     span_s = max((_ts(range_end) - _ts(range_start)).total_seconds(), 0.0)
-    order = ["minute", "hour", "day"]
+    order = [
+        n
+        for n in ("minute", "hour", "day", "week", "month")
+        if available is None or n in available
+    ]
+    if not order:
+        raise ValueError(
+            f"no routable tier among {sorted(available or [])}; "
+            f"known: {sorted(_TIER_SECS)}"
+        )
     for name in order:
         if span_s / _TIER_SECS[name] <= max_points:
             return name
@@ -200,7 +227,7 @@ def auto_rollup(
     """Serve [range_start, range_end) from the tier select_tier picks:
     one bucket_start range filter over that materialized tier —
     partition-prunable, no re-aggregation, no client-side re-binning."""
-    name = select_tier(range_start, range_end, max_points)
+    name = select_tier(range_start, range_end, max_points, list(tiers))
     df = tiers[name]
     return df.where(
         (F.col("bucket_start") >= F.lit(range_start).cast("timestamp"))

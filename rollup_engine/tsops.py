@@ -1548,6 +1548,13 @@ def trend_from_minutes(
     rounding at exact .5 boundaries, so only gate-facing queries opt
     into it (round-5 ADVICE class, closed round-6).
 
+    INTEGER-INPUT CONTRACT: ``value_col`` is cast to long, so a
+    fractional metric (e.g. a rate) is silently floored — the exact
+    integer moments that make the result engine-reproducible require
+    integer y.  For fractional series, pre-scale to exact integer
+    micro-units (``FLOOR(v * 1e6)``, the sax_words recipe) and divide
+    the slope/prediction back by 1e6.
+
     Same exactness recipe as rolling_zscore: the window computes five
     EXACT integer moments (n, Σt, Σy, Σty, Σt²; t = epoch minutes, so
     the largest term Σt² ≈ 5e16 stays far inside int64), then ONE

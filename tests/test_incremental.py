@@ -242,6 +242,57 @@ def test_expire_snapshots_reclaims_applied_raw(spark, data):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_expire_crash_between_tombstone_and_delete_is_recoverable(
+    spark, data, monkeypatch
+):
+    """Round-6 commit-order pin (r5 ADVICE): the tombstone manifest
+    commits BEFORE the data files are deleted, so a crash between the
+    two leaves only harmless orphan files — never a live manifest
+    pointing at deleted parquet.  Inject a crash on the first
+    os.remove: the manifest must already be a tombstone, expired-range
+    reads must fail fast with SnapshotExpiredError (not a missing-file
+    scan error), and a re-run must complete the reclaim."""
+    import os as _os
+
+    from rollup_engine import checkpoint as ckpt_mod
+    from rollup_engine.checkpoint import SnapshotExpiredError
+
+    _full, b1, _b2, store, work = data
+    store.append(b1)
+    job = IncrementalRollup(store, work)
+    job.refresh(spark)
+    ck = job.checkpoint()["snapshot_id"]
+
+    real_remove = _os.remove
+    calls = {"n": 0}
+
+    def crashing_remove(path):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before data-file delete")
+
+    monkeypatch.setattr(ckpt_mod.os, "remove", crashing_remove)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        store.expire_snapshots(up_to=ck, applied_watermark=ck)
+    monkeypatch.setattr(ckpt_mod.os, "remove", real_remove)
+    assert calls["n"] == 1
+
+    # the manifest is already a committed tombstone...
+    m1 = store.manifests()[0]
+    assert m1["expired"] and m1["files"] == []
+    # ...so the expired range fails FAST, not with a missing-file scan
+    with pytest.raises(SnapshotExpiredError):
+        store.read(spark, as_of=ck)
+    # the orphaned data files are still on disk (nothing deleted)
+    assert os.path.exists(os.path.join(store.root, "data", "s00000001"))
+    # re-run completes the reclaim (tombstoned manifests are skipped,
+    # their directories swept by the crash-recovery path or left as
+    # harmless orphans — subsequent refreshes are unaffected)
+    res = store.expire_snapshots(up_to=ck, applied_watermark=ck)
+    assert res["expired_snapshots"] == 0  # already tombstoned
+    again = job.refresh(spark)
+    assert again == job.checkpoint()
+
+
 def test_lateness_profile_measures_cross_batch_lateness(spark, data):
     """Crafted batches: snapshot 2 re-delivers rows 1 hour older than
     snapshot 1's high-water mark plus fresh rows — the profile must

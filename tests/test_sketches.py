@@ -235,5 +235,17 @@ def test_select_tier_boundaries():
     assert select_tier(t0, t0 + day, 1439) == "hour"
     assert select_tier(t0, t0 + 30 * day, 800) == "hour"  # 720 ≤ 800
     assert select_tier(t0, t0 + 30 * day, 100) == "day"
-    assert select_tier(t0, t0 + 3650 * day, 10) == "day"  # fallback
+    # round-6: week/month route too; nothing fits → coarsest AVAILABLE
+    assert select_tier(t0, t0 + 3650 * day, 200) == "month"  # 121.6 ≤ 200
+    assert select_tier(t0, t0 + 3650 * day, 10) == "month"  # fallback
+    assert (
+        select_tier(t0, t0 + 3650 * day, 10, available=["minute", "hour", "day"])
+        == "day"
+    )
+    # a tiers dict missing 'day' must route inside what exists, not
+    # KeyError (the r5 ADVICE finding)
+    assert (
+        select_tier(t0, t0 + 30 * day, 100, available=["minute", "hour"])
+        == "hour"
+    )
     assert select_tier("2024-01-01", "2024-01-02", 1440) == "minute"
