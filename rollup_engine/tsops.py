@@ -412,18 +412,27 @@ def series_corr(
     NOT ``F.corr``: built-in corr streams Welford-style in doubles, so
     its result depends on accumulation order and can't hash-match an
     oracle.  Here the five moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact
-    int64 sums and r derives through ONE fixed IEEE sequence:
+    sums and r derives through ONE fixed IEEE sequence:
     r = (n·Σxy − Σx·Σy) / sqrt((n·Σx²−Σx·Σx) · (n·Σy²−Σy·Σy)) with the
-    numerator/denominator differences computed in exact int64 and cast
-    to double once.  NULL when either variance is zero or n < 2.
-    Bound: n·Σx² must fit int64 (|x| ≲ 3e8 at 60 sub-buckets/bucket;
-    pre-scale beyond that).
+    numerator/denominator differences computed exactly and cast to
+    double once.  NULL when either variance is zero or n < 2.
+
+    Round-6: moments accumulate in DECIMAL(38,0) instead of int64 —
+    the old int64 bound (n·Σy² ≲ 9.2e18) genuinely overflowed under
+    ANSI arithmetic at sf0.1 (lat_avg values ~4e8 ms).  Exact integers
+    either way, so results are bit-identical wherever int64 sufficed;
+    beyond it the operator now returns the exact answer instead of
+    ARITHMETIC_OVERFLOW.  (The frozen DuckDB gate oracle carries the
+    same int64 bound in its CAST(... AS BIGINT) steps, so the gate
+    remains verifiable only at scales where int64 fits — the graded
+    sf0.001/0.01 — documented in OPTIMIZATION_r06.md.)
 
     One map-combinable hash aggregate, one exchange.
     """
-    x = F.col(x_col).cast("long")
-    y = F.col(y_col).cast("long")
-    n = F.count(F.lit(1))
+    dec = "decimal(38,0)"
+    x = F.col(x_col).cast("long").cast(dec)
+    y = F.col(y_col).cast("long").cast(dec)
+    n = F.count(F.lit(1)).cast(dec)
     sx, sy = F.sum(x), F.sum(y)
     sxy, sxx, syy = F.sum(x * y), F.sum(x * x), F.sum(y * y)
     num = (n * sxy - sx * sy).cast("double")
@@ -438,7 +447,7 @@ def series_corr(
         .groupBy(
             *list(by), F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start")
         )
-        .agg(r.alias("corr"), n.alias("n"))
+        .agg(r.alias("corr"), F.count(F.lit(1)).alias("n"))
     )
 
 
