@@ -309,11 +309,11 @@ def minhash_lsh_pairs(
     # Σ_buckets |bucket|²/2 with |bucket| ≤ max_bucket; a corpus whose
     # candidate set outgrows broadcast (≫10⁷ pairs) should lower
     # max_bucket or raise the LSH threshold first.
-    sh_a = sh_rel.join(
-        F.broadcast(cand.select(F.col("id_a").alias("id")).distinct()),
-        "id",
-        "leftsemi",
-    ).select(F.col("id").alias("id_a"), "sh")
+    # side A needs no separate prune: the broadcast hash join below
+    # streams the shingle relation once and drops non-candidate rows
+    # inline; only side B (a shuffle join on (id_b, sh)) must be
+    # semi-pruned BEFORE its exchange
+    sh_a = sh_rel.select(F.col("id").alias("id_a"), "sh")
     sh_b = sh_rel.join(
         F.broadcast(cand.select(F.col("id_b").alias("id")).distinct()),
         "id",
